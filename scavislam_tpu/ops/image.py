@@ -1,0 +1,148 @@
+"""Image preprocessing ops: Gaussian pyramid, Sobel gradients, bilinear sampling.
+
+TPU-native replacement for the reference's preprocessing stage
+(/root/reference/scavislam/frame_grabber.cpp:285-336: cv::buildPyramid +
+float/255 conversion + Sobel dx/dy per level, with a cv::gpu twin). Here the
+whole stack is one fused jitted program over static-shape arrays; XLA fuses
+the elementwise work into the convolutions.
+
+All images are float32 in [0, 1], shape (H, W); pyramids are tuples of
+(H/2^l, W/2^l) arrays (static shapes, NUM_PYR_LEVELS levels).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NUM_PYR_LEVELS = 3  # parity: /root/reference/scavislam/global.h:106
+
+
+def _conv2_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """2-D correlation with replicate-edge padding, NHWC-free single image."""
+    kh, kw = kernel.shape
+    pad_h, pad_w = kh // 2, kw // 2
+    padded = jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        padded[None, :, :, None],
+        kernel[:, :, None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[0, :, :, 0]
+
+
+# OpenCV's pyrDown 5-tap Gaussian kernel (1 4 6 4 1)/16, separable.
+_PYR_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian blur (5-tap) + 2x decimation, matching cv::pyrDown behavior."""
+    blurred = _conv2_same(img, _PYR_K[:, None])
+    blurred = _conv2_same(blurred, _PYR_K[None, :])
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int = NUM_PYR_LEVELS):
+    """Return tuple of `levels` images, level 0 = input."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return tuple(pyr)
+
+
+_SOBEL_DIFF = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
+_SOBEL_SMOOTH = jnp.array([1.0, 2.0, 1.0], dtype=jnp.float32)
+
+
+def sobel_xy(img: jnp.ndarray):
+    """Sobel dx, dy with the reference's 1/8 scale.
+
+    The reference calls cv::Sobel(..., scale=1/8) equivalents so that the
+    gradient of a [0,1] image is a centered finite difference
+    (frame_grabber.cpp:305-333 passes the GPU DerivFilter / CPU Sobel output
+    straight into the dense tracker's Jacobians).
+    """
+    dx = _conv2_same(_conv2_same(img, _SOBEL_SMOOTH[:, None]), _SOBEL_DIFF[None, :])
+    dy = _conv2_same(_conv2_same(img, _SOBEL_SMOOTH[None, :]), _SOBEL_DIFF[:, None])
+    return dx * 0.125, dy * 0.125
+
+
+def preprocess_frame(img_u8_or_f32: jnp.ndarray, levels: int = NUM_PYR_LEVELS):
+    """uint8/float image -> dict with per-level {img, dx, dy} float32 pyramids.
+
+    One jitted program per (H, W, levels) signature; everything fuses.
+    """
+    img = img_u8_or_f32
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32) / 255.0
+    pyr = build_pyramid(img, levels)
+    dxs, dys = [], []
+    for lvl in pyr:
+        dx, dy = sobel_xy(lvl)
+        dxs.append(dx)
+        dys.append(dy)
+    return {"pyr": tuple(pyr), "dx": tuple(dxs), "dy": tuple(dys)}
+
+
+preprocess_frame_jit = jax.jit(preprocess_frame, static_argnums=(1,))
+
+
+# -- bilinear sampling --------------------------------------------------------
+
+def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray, *, fill=0.0):
+    """Sample image at float pixel coords uv (..., 2) = (u=x, v=y).
+
+    Out-of-bounds samples return ``fill``. Mirrors the reference's
+    interpolateMat_32f (maths_utils.cpp:47-66); the CUDA path used hardware
+    texture filtering (dense_tracking.cu:150-152) — on TPU this lowers to a
+    fused gather.
+
+    Returns (values (...,), valid_mask (...,) bool).
+    """
+    h, w = img.shape
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    valid = (u >= 0.0) & (v >= 0.0) & (u <= w - 1.0) & (v <= h - 1.0)
+    u0c = jnp.clip(u0i, 0, w - 2)
+    v0c = jnp.clip(v0i, 0, h - 2)
+
+    i00 = img[v0c, u0c]
+    i01 = img[v0c, u0c + 1]
+    i10 = img[v0c + 1, u0c]
+    i11 = img[v0c + 1, u0c + 1]
+    top = i00 * (1.0 - fu) + i01 * fu
+    bot = i10 * (1.0 - fu) + i11 * fu
+    val = top * (1.0 - fv) + bot * fv
+    return jnp.where(valid, val, fill), valid
+
+
+def nearest_sample(img: jnp.ndarray, uv: jnp.ndarray, *, fill=0.0):
+    """Nearest-neighbor lookup (the reference uses NN for disparity lookups,
+    maths_utils.cpp:37-44). Returns (values, valid_mask)."""
+    h, w = img.shape
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    v = jnp.round(uv[..., 1]).astype(jnp.int32)
+    valid = (u >= 0) & (v >= 0) & (u < w) & (v < h)
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(v, 0, h - 1)
+    val = img[vc, uc]
+    return jnp.where(valid, val, fill), valid
+
+
+@partial(jax.jit, static_argnums=(2,))
+def half_sample_disparity(disp: jnp.ndarray, _unused=None, factor: int = 2):
+    """Decimate a level-0 disparity map to a coarser level WITHOUT rescaling
+    values (valid because of the x2^l baseline trick — see
+    core.camera.StereoCamera.scale_level)."""
+    return disp[::factor, ::factor]

@@ -20,3 +20,12 @@ Architecture (functional core, thin imperative shell):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# The default matmul precision on TPU (and this stack's CPU emulation) is
+# bfloat16 multiply — measured 1.6e-2 relative error on a 3x3 f32 product,
+# which is fatal for pose/Jacobian chains. Geometry must be exact f32;
+# throughput-bound kernels (patch scoring, BoW, dense-tracking J^T J) opt
+# into bf16 EXPLICITLY by casting their inputs.
+_jax.config.update("jax_default_matmul_precision", "highest")

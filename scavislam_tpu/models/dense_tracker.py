@@ -1,0 +1,277 @@
+"""Dense direct (DTAM-style) photometric tracking on TPU.
+
+Re-implements the reference's DenseTracker
+(/root/reference/scavislam/dense_tracking.{h,cpp} + gpu/dense_tracking.cu):
+coarse-to-fine Levenberg-Marquardt minimization of the clamped photometric
+residual between the previous frame's back-projected point cloud (expressed in
+the active-keyframe frame) and the current image.
+
+Reference semantics preserved (dense_tracking.cpp:62-391):
+- 3 pyramid levels, coarse (2) to fine (0);
+- residual r = I_prev - I_cur(pi(T x)), clamped to [-0.1, 0.1];
+- J_r = -(dx * Juv_row0 + dy * Juv_row1), with sampled gradients scaled 0.5;
+- multiplicative LM damping H += mu * diag(H) (the GPU path,
+  dense_tracking.cpp:131; the CPU path forgot the damping);
+- accept if chi2 decreases; mu *= max(1/3, 1-(2*rho-1)^3) on success,
+  mu *= nu; nu *= 2 on failure; at most 2 failed trials; 15 outer iterations;
+- left-multiplicative update T <- exp(x) * T;
+- 2-pixel in-frame border.
+
+TPU-native design: the reference reads back H/b and chi2 to the host and
+solves there EVERY iteration (dense_tracking.cpp:129-176 — a device sync per
+LM step). Here the entire coarse-to-fine optimization is a single jitted XLA
+program: per-pixel work is fused vector code, the 6x6 normal equations come
+from one (N,6)^T @ (N,6) matmul on the MXU, and the solve is a tiny on-device
+Cholesky inside `lax.while_loop`. Zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.ops.image import bilinear_sample
+
+RES_CLAMP = 0.1
+MAX_ITERS = 15
+MAX_TRIALS = 2
+BORDER = 2
+
+
+class DenseTrackingResult(NamedTuple):
+    T: SE3
+    chi2: jnp.ndarray
+    iters: jnp.ndarray  # total accepted+rejected solves per level, (levels,)
+
+
+def _residuals(cam: StereoCamera, img, R, t, xyz_ref, i_ref, valid):
+    """Clamped photometric residuals + in-frame mask for all ref points."""
+    xyz_cur = jnp.einsum("ij,nj->ni", R, xyz_ref) + t
+    z = xyz_cur[..., 2]
+    uv = (xyz_cur[..., :2] / z[..., None]) * cam.focal + cam.pp
+    w, h = cam.size
+    in_frame = (
+        (uv[..., 0] >= BORDER)
+        & (uv[..., 0] < w - BORDER)
+        & (uv[..., 1] >= BORDER)
+        & (uv[..., 1] < h - BORDER)
+        & (z > 1e-6)
+        & valid
+    )
+    i_cur, _ = bilinear_sample(img, uv)
+    res = jnp.clip(i_ref - i_cur, -RES_CLAMP, RES_CLAMP)
+    return jnp.where(in_frame, res, 0.0), in_frame, xyz_cur, uv
+
+
+def _chi2(cam, img, R, t, xyz_ref, i_ref, valid):
+    res, _, _, _ = _residuals(cam, img, R, t, xyz_ref, i_ref, valid)
+    return jnp.sum(res * res)
+
+
+def _normal_equations(cam, img, dx_img, dy_img, R, t, xyz_ref, i_ref, valid):
+    """Build (H, b) = (J^T J, J^T r) for the current pose. One MXU matmul."""
+    res, in_frame, xyz_cur, uv = _residuals(
+        cam, img, R, t, xyz_ref, i_ref, valid
+    )
+    # NOTE: the reference multiplies sampled gradients by 0.5
+    # (dense_tracking.cpp:297-301) to undo its Sobel kernel's x2 gain; our
+    # ops.image.sobel_xy already returns the true centered-difference
+    # gradient, so no extra factor here.
+    dx = bilinear_sample(dx_img, uv)[0]
+    dy = bilinear_sample(dy_img, uv)[0]
+
+    x, y = xyz_cur[..., 0], xyz_cur[..., 1]
+    z = jnp.where(jnp.abs(xyz_cur[..., 2]) < 1e-6, 1e-6, xyz_cur[..., 2])
+    z2 = z * z
+    f = cam.focal
+    # d(uv)/d(xi) rows for left-mult update (cf. core.transforms
+    # frame_jac_uvu_world, specialized to the mono uv part and fused here to
+    # keep it a pure vector expression).
+    j0 = jnp.stack(
+        [f / z, jnp.zeros_like(z), -f * x / z2,
+         -f * x * y / z2, f * (1.0 + x * x / z2), -f * y / z],
+        axis=-1,
+    )
+    j1 = jnp.stack(
+        [jnp.zeros_like(z), f / z, -f * y / z2,
+         -f * (1.0 + y * y / z2), f * x * y / z2, f * x / z],
+        axis=-1,
+    )
+    # residual jacobian: r = I_ref - I_cur(uv(T x))  =>  dr/dxi = -grad I . duv/dxi
+    J = -(dx[..., None] * j0 + dy[..., None] * j1)
+    J = jnp.where(in_frame[..., None], J, 0.0)
+    H = jnp.einsum("ni,nj->ij", J, J, preferred_element_type=jnp.float32)
+    b = jnp.einsum("ni,n->i", J, res, preferred_element_type=jnp.float32)
+    return H, b
+
+
+def _lm_level(cam, img, dx_img, dy_img, xyz_ref, i_ref, valid, R0, t0):
+    """Run the LM loop for one pyramid level entirely on device."""
+    chi2_0 = _chi2(cam, img, R0, t0, xyz_ref, i_ref, valid)
+
+    def cond(state):
+        R, t, chi2, mu, nu, trial, it, stop = state
+        return jnp.logical_and(it < MAX_ITERS, jnp.logical_not(stop))
+
+    def body(state):
+        R, t, chi2, mu, nu, trial, it, stop = state
+        H, b = _normal_equations(
+            cam, img, dx_img, dy_img, R, t, xyz_ref, i_ref, valid
+        )
+        # multiplicative damping (dense_tracking.cpp:131 GPU path)
+        Hd = H + mu * jnp.diag(jnp.diag(H))
+        # tiny 6x6 solve on device; regularize in case of rank deficiency
+        Hd = Hd + 1e-12 * jnp.eye(6, dtype=H.dtype)
+        x = jax.scipy.linalg.solve(Hd, -b, assume_a="pos")
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        T_new = SE3.exp(x) @ SE3(R, t)
+        new_chi2 = _chi2(cam, img, T_new.R, T_new.t, xyz_ref, i_ref, valid)
+        rho = chi2 - new_chi2
+
+        accept = rho > 0
+        stop_acc = jnp.max(jnp.abs(x)) <= 1e-10
+        mu_acc = mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_rej = mu * nu
+        trial_new = jnp.where(accept, 0, trial + 1)
+        stop_rej = trial_new >= MAX_TRIALS
+
+        R_n = jnp.where(accept, T_new.R, R)
+        t_n = jnp.where(accept, T_new.t, t)
+        chi2_n = jnp.where(accept, new_chi2, chi2)
+        mu_n = jnp.where(accept, mu_acc, mu_rej)
+        nu_n = jnp.where(accept, 2.0, nu * 2.0)
+        stop_n = jnp.where(accept, stop_acc, stop_rej)
+        # outer-iteration counter advances only on acceptance (the reference's
+        # inner do/while retries with increased mu within the same i).
+        it_n = jnp.where(accept, it + 1, it)
+        return (R_n, t_n, chi2_n, mu_n, nu_n, trial_new, it_n, stop_n)
+
+    init = (
+        R0,
+        t0,
+        chi2_0,
+        jnp.float32(0.01),
+        jnp.float32(2.0),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    R, t, chi2, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return R, t, chi2, it
+
+
+@partial(jax.jit, static_argnames=("cams_static",))
+def _dense_tracking_impl(pyr, dx, dy, clouds, intensities, valids, R0, t0, cam_params, cams_static):
+    levels = len(pyr)
+    R, t = R0, t0
+    chi2s = []
+    iters = []
+    for level in range(levels - 1, -1, -1):
+        focal, ppx, ppy, baseline = cam_params[level]
+        cam = StereoCamera(focal, jnp.stack([ppx, ppy]), cams_static[level], baseline)
+        R, t, chi2, it = _lm_level(
+            cam,
+            pyr[level],
+            dx[level],
+            dy[level],
+            clouds[level],
+            intensities[level],
+            valids[level],
+            R,
+            t,
+        )
+        chi2s.append(chi2)
+        iters.append(it)
+    return R, t, jnp.stack(chi2s[::-1]), jnp.stack(iters[::-1])
+
+
+def dense_tracking(
+    frame,  # dict with "pyr", "dx", "dy" tuples (current frame, preprocessed)
+    ref_clouds,  # tuple of (N_l, 3) point clouds in actkey frame (prev frame)
+    ref_intensities,  # tuple of (N_l,) intensities from prev frame
+    ref_valids,  # tuple of (N_l,) bool
+    cam_pyramid,  # list[StereoCamera] per level
+    T_init: SE3,
+) -> DenseTrackingResult:
+    """Estimate T_cur_from_actkey. Public API mirror of
+    DenseTracker::denseTrackingGpu (dense_tracking.h:61-73)."""
+    cam_params = tuple(
+        (c.focal, c.pp[0], c.pp[1], c.baseline) for c in cam_pyramid
+    )
+    cams_static = tuple(c.size for c in cam_pyramid)
+    R, t, chi2, iters = _dense_tracking_impl(
+        frame["pyr"],
+        frame["dx"],
+        frame["dy"],
+        ref_clouds,
+        ref_intensities,
+        ref_valids,
+        T_init.R,
+        T_init.t,
+        cam_params,
+        cams_static,
+    )
+    return DenseTrackingResult(SE3(R, t), chi2, iters)
+
+
+# -- dense point cloud ---------------------------------------------------------
+
+def compute_dense_point_cloud(
+    disp: jnp.ndarray,  # (H, W) level-0 disparity, <=0 ~ invalid
+    cam: StereoCamera,
+    T_cur_from_actkey: SE3,
+    stride: int = 1,
+):
+    """Back-project every `stride`-th pixel into the active keyframe frame.
+
+    Parity: DenseTracker::computeDensePointCloudGpu/Cpu
+    (dense_tracking.cpp:195-216, 393-423; GPU kernel dense_tracking.cu:82-148):
+    xyz_actkey = T^-1 * unproject(u, v, disp).
+
+    Returns (xyz (N,3), valid (N,)) flattened, N = (H/stride)*(W/stride).
+    """
+    d = disp[::stride, ::stride]
+    h, w = d.shape
+    v_idx = jnp.arange(h, dtype=jnp.float32)[:, None] * stride
+    u_idx = jnp.arange(w, dtype=jnp.float32)[None, :] * stride
+    valid = d > 0.0
+    d_safe = jnp.where(valid, d, 1.0)
+    z = cam.focal * cam.baseline / d_safe
+    x = (u_idx - cam.pp[0]) / cam.focal * z
+    y = (v_idx - cam.pp[1]) / cam.focal * z
+    xyz = jnp.stack(
+        [x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1
+    )
+    Tinv = T_cur_from_actkey.inverse()
+    xyz_ak = Tinv.apply(xyz)
+    return xyz_ak, valid.reshape(-1)
+
+
+def cloud_pyramid_from_disparity(disp0, cam0: StereoCamera, T: SE3, levels=3):
+    """Per-level point clouds + intensity grids for the tracker: level l uses
+    the level-0 disparity decimated by 2^l (value-invariant thanks to the
+    baseline trick) back-projected with the level-l camera."""
+    clouds, valids = [], []
+    for level in range(levels):
+        s = 2**level
+        cam_l = cam0.scale_level(level)
+        d_l = disp0[::s, ::s]
+        # back-project with the level camera (pixel coords are level-l coords)
+        h, w = d_l.shape
+        v_idx = jnp.arange(h, dtype=jnp.float32)[:, None]
+        u_idx = jnp.arange(w, dtype=jnp.float32)[None, :]
+        valid = d_l > 0.0
+        d_safe = jnp.where(valid, d_l, 1.0)
+        z = cam_l.focal * cam_l.baseline / d_safe
+        x = (u_idx - cam_l.pp[0]) / cam_l.focal * z
+        y = (v_idx - cam_l.pp[1]) / cam_l.focal * z
+        xyz = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+        xyz_ak = T.inverse().apply(xyz)
+        clouds.append(xyz_ak)
+        valids.append(valid.reshape(-1))
+    return tuple(clouds), tuple(valids)

@@ -22,6 +22,7 @@ NUM_PYR_LEVELS = 3  # parity: /root/reference/scavislam/global.h:106
 
 def _conv2_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """2-D correlation with replicate-edge padding, NHWC-free single image."""
+    kernel = jnp.asarray(kernel)
     kh, kw = kernel.shape
     pad_h, pad_w = kh // 2, kw // 2
     padded = jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="edge")
@@ -36,7 +37,11 @@ def _conv2_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 # OpenCV's pyrDown 5-tap Gaussian kernel (1 4 6 4 1)/16, separable.
-_PYR_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+# (numpy, not jnp: module-level jnp constants would become tracers if this
+# module were first imported inside a jit trace.)
+import numpy as _np
+
+_PYR_K = _np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=_np.float32) / 16.0
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
@@ -54,8 +59,8 @@ def build_pyramid(img: jnp.ndarray, levels: int = NUM_PYR_LEVELS):
     return tuple(pyr)
 
 
-_SOBEL_DIFF = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
-_SOBEL_SMOOTH = jnp.array([1.0, 2.0, 1.0], dtype=jnp.float32)
+_SOBEL_DIFF = _np.array([-1.0, 0.0, 1.0], dtype=_np.float32)
+_SOBEL_SMOOTH = _np.array([1.0, 2.0, 1.0], dtype=_np.float32)
 
 
 def sobel_xy(img: jnp.ndarray):
@@ -106,16 +111,16 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray, *, fill=0.0):
     h, w = img.shape
     u = uv[..., 0]
     v = uv[..., 1]
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    fu = u - u0
-    fv = v - v0
-    u0i = u0.astype(jnp.int32)
-    v0i = v0.astype(jnp.int32)
+    u0i = jnp.floor(u).astype(jnp.int32)
+    v0i = jnp.floor(v).astype(jnp.int32)
 
     valid = (u >= 0.0) & (v >= 0.0) & (u <= w - 1.0) & (v <= h - 1.0)
     u0c = jnp.clip(u0i, 0, w - 2)
     v0c = jnp.clip(v0i, 0, h - 2)
+    # fractions relative to the CLIPPED base so u == w-1 samples exactly the
+    # last column instead of repeating column w-2.
+    fu = u - u0c.astype(u.dtype)
+    fv = v - v0c.astype(v.dtype)
 
     i00 = img[v0c, u0c]
     i01 = img[v0c, u0c + 1]

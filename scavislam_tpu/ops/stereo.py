@@ -1,0 +1,157 @@
+"""Stereo disparity by block matching, as one fused XLA program.
+
+TPU-native replacement for the reference's disparity stage
+(/root/reference/scavislam/stereo_frontend.cpp:530-655): the reference offers
+CPU StereoBM plus 3 cv::gpu methods (BM / BP / CSBP) selected at runtime; here
+the workhorse is a vectorized block matcher whose cost volume is built as a
+(D, H, W) tensor with separable box filtering — XLA fuses the shift/abs-diff/
+filter chain, and the disparity axis D is embarrassingly parallel vector work.
+
+Matching the reference behavior:
+- disparity is computed at level 0 and reused at coarser pyramid levels via
+  value-invariant decimation (the baseline trick);
+- invalid pixels get disparity <= 0 (callers treat d <= 0 as missing, like the
+  reference's d < 0 checks);
+- subpixel refinement by parabola fit over the cost minimum (OpenCV StereoBM
+  semantics).
+
+Left-right consistency: optional, doubles cost; enabled by default for map
+point quality (the reference relied on cv::gpu's internal checks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from scavislam_tpu.ops.image import sobel_xy
+
+
+def _box_filter_1d(x, radius, axis):
+    """Box sum of width 2r+1 along axis, same size, zero padding."""
+    k = 2 * radius + 1
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    n = x.shape[axis]
+    xp = jnp.pad(x, pad)
+    c = jnp.cumsum(xp, axis=axis)
+    # out[i] = sum(xp[i : i+k]) = c[i+k-1] - c[i-1]  (c[-1] := 0)
+    lead = jax.lax.slice_in_dim(c, k - 1, k - 1 + n, axis=axis)
+    zeros_shape = list(c.shape)
+    zeros_shape[axis] = 1
+    lag = jnp.concatenate(
+        [jnp.zeros(zeros_shape, c.dtype),
+         jax.lax.slice_in_dim(c, 0, n - 1, axis=axis)],
+        axis=axis,
+    )
+    return lead - lag
+
+
+def box_filter(x, radius):
+    """Separable 2-D box sum over the last two axes."""
+    return _box_filter_1d(_box_filter_1d(x, radius, -1), radius, -2)
+
+
+def _sobel_x_prefilter(img, cap=0.5):
+    """OpenCV-StereoBM-style x-derivative prefilter, clipped."""
+    dx, _ = sobel_xy(img)
+    return jnp.clip(dx, -cap, cap)
+
+
+def _cost_volume(left, right, num_disp):
+    """(D, H, W) SAD numerators: cost[d] = |L(u,v) - R(u-d,v)|.
+
+    One gather builds all D shifted copies (no per-d Python loop — keeps the
+    XLA graph small and the TPU lowering a single fused gather+sub+abs).
+    Columns with u < d have no counterpart; they get +inf cost.
+    """
+    h, w = left.shape
+    uu = jnp.arange(w)[None, :]
+    dd = jnp.arange(num_disp)[:, None]
+    src = uu - dd  # (D, W)
+    mask = src >= 0
+    shifted = right[:, jnp.clip(src, 0, w - 1)]  # (H, D, W)
+    shifted = jnp.moveaxis(shifted, 1, 0)  # (D, H, W)
+    cost = jnp.abs(left[None, :, :] - shifted)
+    return jnp.where(mask[:, None, :], cost, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("num_disp", "radius", "use_prefilter",
+                                   "lr_check", "uniqueness_ratio"))
+def block_matching_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disp: int = 64,
+    radius: int = 5,
+    use_prefilter: bool = True,
+    lr_check: bool = True,
+    uniqueness_ratio: float = 1.10,
+    texture_threshold: float = 0.01,
+):
+    """Dense disparity for a rectified pair. Returns float32 (H, W); invalid
+    pixels get -1.0.
+
+    Parity surface: StereoFrontend::calcDisparityGpu/Cpu
+    (stereo_frontend.cpp:530-655) with method==BM.
+    """
+    if use_prefilter:
+        lf = _sobel_x_prefilter(left)
+        rf = _sobel_x_prefilter(right)
+    else:
+        lf, rf = left, right
+
+    raw = _cost_volume(lf, rf, num_disp)
+    finite = jnp.isfinite(raw)
+    cost = box_filter(jnp.where(finite, raw, 0.0), radius)
+    count = box_filter(finite.astype(jnp.float32), radius)
+    full = float((2 * radius + 1) ** 2)
+    cost = jnp.where(count >= full, cost, jnp.inf)
+
+    best = jnp.argmin(cost, axis=0)
+    cmin = jnp.min(cost, axis=0)
+
+    # uniqueness: second-best (excluding d-1, d+1 neighbors) must be worse
+    d_idx = jnp.arange(num_disp)[:, None, None]
+    near = jnp.abs(d_idx - best[None, :, :]) <= 1
+    cost_wo = jnp.where(near, jnp.inf, cost)
+    c2 = jnp.min(cost_wo, axis=0)
+    unique_ok = cmin * uniqueness_ratio <= c2
+
+    # texture: average absolute prefiltered signal in the window
+    tex = box_filter(jnp.abs(lf), radius) / full
+    tex_ok = tex > texture_threshold
+
+    # subpixel parabola fit around the minimum
+    bm1 = jnp.clip(best - 1, 0, num_disp - 1)
+    bp1 = jnp.clip(best + 1, 0, num_disp - 1)
+    h, w = left.shape
+    vv = jnp.arange(h)[:, None]
+    uu = jnp.arange(w)[None, :]
+    c_m = cost[bm1, vv, uu]
+    c_p = cost[bp1, vv, uu]
+    denom = c_m + c_p - 2.0 * cmin
+    interior = (best > 0) & (best < num_disp - 1) & jnp.isfinite(c_m) & jnp.isfinite(c_p)
+    delta = jnp.where(
+        interior & (denom > 1e-9), 0.5 * (c_m - c_p) / jnp.maximum(denom, 1e-9), 0.0
+    )
+    disp = best.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5)
+
+    valid = jnp.isfinite(cmin) & unique_ok & tex_ok & (best > 0)
+
+    if lr_check:
+        # right-image disparity by reusing the same cost volume: for the right
+        # image, cost_R(d)[v, u] = cost_L(d)[v, u + d]. Single gather.
+        dd = jnp.arange(num_disp)[:, None, None]
+        src = jnp.clip(uu[None, :, :] + dd, 0, w - 1)  # (D, 1, W) -> bcast
+        src = jnp.broadcast_to(src, cost.shape)
+        cost_r = jnp.take_along_axis(cost, src, axis=2)
+        best_r = jnp.argmin(cost_r, axis=0)
+        # check |d_L(u) - d_R(u - d_L)| <= 1
+        u_r = jnp.clip(uu - best, 0, w - 1)
+        d_r_at = best_r[vv, u_r]
+        lr_ok = jnp.abs(best - d_r_at) <= 1
+        valid = valid & lr_ok
+
+    return jnp.where(valid, disp, -1.0)

@@ -93,7 +93,10 @@ class TestAnchoredModel:
     def setup_method(self):
         k1, k2, k3 = jax.random.split(KEY, 3)
         self.A_aw = random_pose(k1)
-        self.T_cw = random_pose(k2) @ self.A_aw  # keep point visible-ish
+        # small relative pose => point projects near the image center, keeping
+        # the f32 comparison against the two-step world-frame path well
+        # conditioned.
+        self.T_cw = random_pose(k2, scale=0.05) @ self.A_aw
         self.psi = tf.psi_from_xyz(random_point(k3))
 
     def test_prediction_matches_world_model(self):

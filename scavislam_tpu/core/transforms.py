@@ -178,16 +178,37 @@ def relative_pose_error(T_21: SE3, T_1w: SE3, T_w2_inv: SE3) -> jnp.ndarray:
     return (T_21 @ T_1w @ T_w2_inv.inverse()).log()
 
 
-def se3_edge_jacobian_third(d: jnp.ndarray) -> jnp.ndarray:
-    """BCH-approximate Jacobian used by the reference's relative-pose edge:
-    third(d) = Adj-like series I + 1/2 ad(d) + 1/12 ad(d)^2 composed with Adj.
+def se3_right_jacobian_inv(d: jnp.ndarray) -> jnp.ndarray:
+    """2nd-order BCH series J_r^{-1}(d) ~ I + 1/2 ad(d) + 1/12 ad(d)^2.
 
-    The reference computes J = Adj(T) @ (I + 1/2 [d]x + 1/12 [d]x^2) with
-    se(3) brackets (anchored_points.cpp:216-235). We expose the series factor;
-    callers multiply by the adjoint.
+    This is the series the reference's relative-pose edge calls ``third``
+    (anchored_points.cpp:216-235); exact to O(|d|^3), which matches g2o's
+    linearization quality for the small constraint errors of a converged
+    pose graph.
     """
     from scavislam_tpu.core.lie import ad_se3
 
     A = ad_se3(d)
     eye = jnp.broadcast_to(jnp.eye(6, dtype=d.dtype), A.shape)
     return eye + 0.5 * A + (1.0 / 12.0) * (A @ A)
+
+
+def se3_left_jacobian_inv(d: jnp.ndarray) -> jnp.ndarray:
+    """J_l^{-1}(d) = J_r^{-1}(-d) ~ I - 1/2 ad(d) + 1/12 ad(d)^2."""
+    return se3_right_jacobian_inv(-d)
+
+
+def relative_pose_jacobians(T_21: SE3, T_1w: SE3, T_2w: SE3):
+    """Jacobians of :func:`relative_pose_error` wrt LEFT-multiplicative
+    tangents of T_1w and T_2w.
+
+    With d = log(T_21 T_1w T_2w^-1):
+      err(xi1) = log(exp(Adj(T_21) xi1) exp(d))  =>  J1 =  Jl^-1(d) Adj(T_21)
+      err(xi2) = log(exp(d) exp(-xi2))           =>  J2 = -Jr^-1(d)
+    (2nd-order BCH; the pose-graph edge of the DWO outer window,
+    cf. G2oEdgeSE3 anchored_points.cpp:207-235.)
+    """
+    d = relative_pose_error(T_21, T_1w, T_2w)
+    J1 = se3_left_jacobian_inv(d) @ T_21.adjoint()
+    J2 = -se3_right_jacobian_inv(d)
+    return d, J1, J2

@@ -137,7 +137,7 @@ class TestRelativePoseEdge:
         err = tf.relative_pose_error(T_21, T_1w, T_2w)
         np.testing.assert_allclose(err, jnp.zeros(6), atol=1e-5)
 
-    def test_bch_jacobian_close_to_autodiff(self):
+    def test_bch_jacobians_close_to_autodiff(self):
         k1, k2 = jax.random.split(KEY)
         T_1w = random_pose(k1)
         T_2w = SE3.exp(jax.random.normal(k2, (6,)) * 0.05) @ T_1w
@@ -145,11 +145,13 @@ class TestRelativePoseEdge:
             jax.random.normal(KEY, (6,)) * 0.02
         )
 
-        def err_of_xi1(xi):
-            return tf.relative_pose_error(T_21, T_1w.retract(xi), T_2w)
-
-        d = tf.relative_pose_error(T_21, T_1w, T_2w)
-        J_analytic = tf.se3_edge_jacobian_third(d) @ (T_21 @ T_1w).adjoint()
-        J_num = jax.jacfwd(err_of_xi1)(jnp.zeros(6))
-        # BCH series is 2nd order — accurate for small d.
-        np.testing.assert_allclose(J_analytic, J_num, atol=5e-4)
+        d, J1, J2 = tf.relative_pose_jacobians(T_21, T_1w, T_2w)
+        J1_num = jax.jacfwd(
+            lambda xi: tf.relative_pose_error(T_21, T_1w.retract(xi), T_2w)
+        )(jnp.zeros(6))
+        J2_num = jax.jacfwd(
+            lambda xi: tf.relative_pose_error(T_21, T_1w, T_2w.retract(xi))
+        )(jnp.zeros(6))
+        # BCH series is 2nd order — accurate for small d (|d| ~ 0.02 here).
+        np.testing.assert_allclose(J1, J1_num, atol=5e-4)
+        np.testing.assert_allclose(J2, J2_num, atol=5e-4)

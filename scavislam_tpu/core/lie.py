@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Taylor/exact switch on theta^2. In float32, 1 - cos(theta) underflows to 0
+# for theta < ~3e-4 and suffers catastrophic cancellation up to theta ~ 0.1,
+# so the Taylor branch must cover a WIDE neighborhood of zero; with 3-term
+# series the truncation error at theta = 0.2 is ~1e-8, below f32 roundoff.
+_TAYLOR_T2 = 0.04
 
 
 def _where_taylor(theta2, exact, taylor):
@@ -33,7 +38,7 @@ def _where_taylor(theta2, exact, taylor):
     Both branches must already be finite at theta2=0 — callers achieve this by
     computing `exact` with a "safe" theta (clamped away from 0).
     """
-    return jnp.where(theta2 < _EPS, taylor, exact)
+    return jnp.where(theta2 < _TAYLOR_T2, taylor, exact)
 
 
 def hat(omega: jnp.ndarray) -> jnp.ndarray:
@@ -59,10 +64,22 @@ def vee(Omega: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_exp_coeffs(theta2):
     """Return (A, B, C) with R = I + A·Ω + B·Ω², V = I + B·Ω + C·Ω²."""
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
-    A = _where_taylor(theta2, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    B = _where_taylor(theta2, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
-    C = _where_taylor(theta2, (1.0 - A) / theta2, 1.0 / 6.0 - theta2 / 120.0)
+    t2s = jnp.maximum(theta2, _TAYLOR_T2)  # safe for the exact branch
+    theta = jnp.sqrt(t2s)
+    t4 = theta2 * theta2
+    A = _where_taylor(
+        theta2, jnp.sin(theta) / theta,
+        1.0 - theta2 / 6.0 + t4 / 120.0,
+    )
+    B = _where_taylor(
+        theta2, (1.0 - jnp.cos(theta)) / t2s,
+        0.5 - theta2 / 24.0 + t4 / 720.0,
+    )
+    A_exact_for_C = jnp.sin(theta) / theta
+    C = _where_taylor(
+        theta2, (1.0 - A_exact_for_C) / t2s,
+        1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0,
+    )
     return A, B, C
 
 
@@ -185,15 +202,15 @@ class SE3(NamedTuple):
     def log(self) -> jnp.ndarray:
         omega = SO3(self.R).log()
         theta2 = jnp.sum(omega * omega, axis=-1)
-        theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
         Om = hat(omega)
         Om2 = Om @ Om
         # V^{-1} = I - 1/2 Ω + (1/theta2)(1 - A/(2B)) Ω²
         A, B, _ = _so3_exp_coeffs(theta2)
+        B_safe = jnp.maximum(B, 1e-6)
         coef = _where_taylor(
             theta2,
-            (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, _EPS),
-            1.0 / 12.0 + theta2 / 720.0,
+            (1.0 - A / (2.0 * B_safe)) / jnp.maximum(theta2, _TAYLOR_T2),
+            1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
         )
         eye = jnp.eye(3, dtype=self.R.dtype)
         Vinv = eye - 0.5 * Om + coef[..., None, None] * Om2

@@ -62,19 +62,39 @@ def default_room() -> list[Plane]:
     ]
 
 
-def _texture(u, v, phase):
-    """Smooth multi-frequency procedural texture in [0.05, 0.95].
+_TEX_FREQS = np.array(
+    # (fu, fv, amp, phase0) — incommensurate frequencies at mixed orientations
+    # so the texture is locally distinctive (no quasi-periodic aliases that
+    # would make patch matching ambiguous).
+    [
+        (1.7, 1.1, 0.30, 0.0),
+        (3.9, -2.3, 0.22, 1.1),
+        (-2.9, 4.7, 0.18, 2.3),
+        (7.3, 3.1, 0.14, 3.7),
+        (-5.1, -8.3, 0.12, 0.9),
+        (11.9, -6.7, 0.10, 4.4),
+        (9.1, 13.7, 0.08, 2.8),
+        (-15.7, 10.3, 0.06, 5.5),
+        (19.3, 7.9, 0.05, 1.7),
+        (-13.1, -21.7, 0.04, 3.2),
+    ],
+    dtype=np.float32,
+)
 
-    Band-limited (a few cosine octaves) so bilinear sampling during rendering
-    and tracking is well-behaved.
+
+def _texture(u, v, phase):
+    """Smooth, locally distinctive procedural texture in ~[0.05, 0.95].
+
+    Band-limited (sum of incommensurate cosine gratings) so bilinear sampling
+    during rendering and tracking is well-behaved, yet aperiodic enough that
+    ZMSSD patch matching has a unique optimum.
     """
-    val = (
-        0.45 * jnp.cos(2.1 * u + 1.3 * v + phase)
-        + 0.30 * jnp.cos(5.3 * u - 3.1 * v + 2.0 * phase + 1.0)
-        + 0.15 * jnp.cos(11.7 * u + 7.3 * v + 3.0 * phase + 2.0)
-        + 0.10 * jnp.cos(23.0 * u - 17.0 * v + 0.5 * phase + 3.0)
-    )
-    return 0.5 + 0.45 * val
+    val = 0.0
+    for fu, fv, amp, ph0 in _TEX_FREQS:
+        val = val + amp * jnp.cos(
+            float(fu) * u + float(fv) * v + float(ph0) + (1.0 + float(amp)) * phase
+        )
+    return 0.5 + 0.42 * val
 
 
 def _render_view(planes, T_cw: SE3, cam: StereoCamera, eye_offset: float):

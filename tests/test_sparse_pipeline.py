@@ -1,0 +1,177 @@
+"""FAST corners, guided matching, motion-only BA — on synthetic ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.io.synthetic import SyntheticSequence
+from scavislam_tpu.models.matcher import capture_source_patches, match_level
+from scavislam_tpu.models.pose_optimizer import motion_only_ba, motion_only_ba_robust
+from scavislam_tpu.ops.fast import corner_buckets, detect_corners_grid
+from scavislam_tpu.ops.image import preprocess_frame
+
+CAM = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return SyntheticSequence(CAM, n_frames=3, kind="forward_arc")
+
+
+class TestFast:
+    def test_detects_corners_on_texture(self, seq):
+        f = seq.frame(0)
+        uv, score, valid = detect_corners_grid(f["left"], threshold=0.04)
+        assert int(valid.sum()) > 50
+        # all detections strictly inside the border
+        uvv = np.asarray(uv)[np.asarray(valid)]
+        assert (uvv[:, 0] >= 3).all() and (uvv[:, 0] < 253).all()
+
+    def test_no_corners_on_flat(self):
+        img = jnp.full((192, 256), 0.5, jnp.float32)
+        _, _, valid = detect_corners_grid(img, threshold=0.04)
+        assert int(valid.sum()) == 0
+
+    def test_spatial_uniformity(self, seq):
+        f = seq.frame(0)
+        uv, score, valid = detect_corners_grid(
+            f["left"], threshold=0.02, cells_y=4, cells_x=4, per_cell=8
+        )
+        # every textured cell should contribute something; count nonempty cells
+        per_cell_counts = np.asarray(valid).reshape(16, 8).sum(axis=1)
+        assert (per_cell_counts > 0).sum() >= 12
+
+    def test_corner_repeatability(self, seq):
+        """Corners must be stable under jit re-execution (determinism)."""
+        f = seq.frame(0)
+        a = detect_corners_grid(f["left"], threshold=0.04)
+        b = detect_corners_grid(f["left"], threshold=0.04)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def _make_points_from_frame(frame, cam, n_max=256):
+    """Ground-truth 3-D points at detected corners (level 0)."""
+    uv, score, valid = detect_corners_grid(
+        frame["left"], threshold=0.04, cells_y=6, cells_x=8, per_cell=8
+    )
+    uv = np.asarray(uv)
+    valid = np.asarray(valid)
+    disp = np.asarray(frame["disp_gt"])
+    us = np.clip(uv[:, 0].astype(int), 0, disp.shape[1] - 1)
+    vs = np.clip(uv[:, 1].astype(int), 0, disp.shape[0] - 1)
+    d = disp[vs, us]
+    ok = valid & (d > 0.5)
+    T_wc = frame["T_cw_gt"].inverse()
+    xyz_c = cam.uv_disp_to_xyz(
+        jnp.asarray(uv[:, 0]), jnp.asarray(uv[:, 1]), jnp.asarray(d)
+    )
+    xyz_w = T_wc.apply(xyz_c)
+    # pad/trim to n_max
+    n = min(n_max, uv.shape[0])
+    return (
+        jnp.asarray(xyz_w[:n]),
+        jnp.asarray(uv[:n]),
+        jnp.asarray(ok[:n]),
+    )
+
+
+class TestGuidedMatching:
+    def test_match_same_frame_identity(self, seq):
+        f = seq.frame(0)
+        xyz_w, uv, ok = _make_points_from_frame(f, CAM)
+        pre = preprocess_frame(f["left"], 3)
+        patches, p_ok = capture_source_patches(pre["pyr"][0], uv)
+        ok = ok & p_ok
+        buckets = corner_buckets(f["left"], threshold=0.04)
+        T_cw = f["T_cw_gt"]
+        anchors = SE3(
+            jnp.broadcast_to(T_cw.R, (xyz_w.shape[0], 3, 3)),
+            jnp.broadcast_to(T_cw.t, (xyz_w.shape[0], 3)),
+        )
+        res = match_level(
+            CAM, pre["pyr"][0], T_cw, xyz_w, anchors, patches, ok,
+            buckets, f["disp_gt"], level=0,
+        )
+        m = np.asarray(res.matched)
+        assert m.sum() > 0.7 * np.asarray(ok).sum()
+        # matched corners should coincide with the original corner position
+        err = np.asarray(
+            jnp.linalg.norm(res.corner_uv - uv, axis=-1)
+        )[m]
+        assert np.median(err) < 1.0
+
+    def test_match_next_frame(self, seq):
+        f0, f1 = seq.frame(0), seq.frame(1)
+        xyz_w, uv, ok = _make_points_from_frame(f0, CAM)
+        pre0 = preprocess_frame(f0["left"], 3)
+        patches, p_ok = capture_source_patches(pre0["pyr"][0], uv)
+        ok = ok & p_ok
+        pre1 = preprocess_frame(f1["left"], 3)
+        buckets = corner_buckets(f1["left"], threshold=0.04)
+        T_aw = f0["T_cw_gt"]
+        anchors = SE3(
+            jnp.broadcast_to(T_aw.R, (xyz_w.shape[0], 3, 3)),
+            jnp.broadcast_to(T_aw.t, (xyz_w.shape[0], 3)),
+        )
+        res = match_level(
+            CAM, pre1["pyr"][0], f1["T_cw_gt"], xyz_w, anchors, patches, ok,
+            buckets, f1["disp_gt"], level=0,
+        )
+        m = np.asarray(res.matched)
+        assert m.sum() > 0.4 * np.asarray(ok).sum(), (
+            f"matched {m.sum()} of {np.asarray(ok).sum()}"
+        )
+        # observations must reproject close to prediction from GT pose
+        obs = np.asarray(res.obs_uvu)[m]
+        pred = np.asarray(CAM.map_uvu(f1["T_cw_gt"].apply(xyz_w)))[m]
+        err = np.abs(obs[:, :2] - pred[:, :2])
+        assert np.median(err) < 1.5
+
+
+class TestMotionOnlyBA:
+    def test_recovers_pose_from_exact_obs(self, seq):
+        f = seq.frame(1)
+        xyz_w, uv, ok = _make_points_from_frame(f, CAM)
+        T_gt = f["T_cw_gt"]
+        obs = CAM.map_uvu(T_gt.apply(xyz_w))
+        weights = jnp.ones(xyz_w.shape[0])
+        # perturbed init
+        T0 = SE3.exp(jnp.array([0.03, -0.02, 0.05, 0.01, -0.015, 0.02])) @ T_gt
+        res = motion_only_ba(CAM, T0, xyz_w, obs, weights, ok)
+        err = (res.T @ T_gt.inverse()).log()
+        assert float(jnp.max(jnp.abs(err))) < 1e-4, np.asarray(err)
+
+    def test_robust_to_outliers(self, seq):
+        f = seq.frame(1)
+        xyz_w, uv, ok = _make_points_from_frame(f, CAM)
+        T_gt = f["T_cw_gt"]
+        obs = CAM.map_uvu(T_gt.apply(xyz_w))
+        # corrupt 20% of observations badly
+        n = obs.shape[0]
+        key = jax.random.PRNGKey(3)
+        bad = jax.random.uniform(key, (n,)) < 0.2
+        obs = jnp.where(
+            bad[:, None], obs + jnp.array([40.0, -25.0, 40.0]), obs
+        )
+        T0 = SE3.exp(jnp.array([0.02, 0.01, -0.03, 0.005, 0.01, -0.01])) @ T_gt
+        res = motion_only_ba_robust(CAM, T0, xyz_w, obs, jnp.ones(n), ok,
+                                    huber_delta=1.0)
+        err = (res.T @ T_gt.inverse()).log()
+        assert float(jnp.max(jnp.abs(err))) < 5e-3, np.asarray(err)
+
+    def test_masked_points_ignored(self, seq):
+        f = seq.frame(1)
+        xyz_w, uv, ok = _make_points_from_frame(f, CAM)
+        T_gt = f["T_cw_gt"]
+        obs = CAM.map_uvu(T_gt.apply(xyz_w))
+        # poison the masked-out entries with NaNs — they must not propagate
+        obs = jnp.where(ok[:, None], obs, jnp.nan)
+        xyz_poisoned = jnp.where(ok[:, None], xyz_w, jnp.nan)
+        T0 = SE3.exp(jnp.full(6, 0.01)) @ T_gt
+        res = motion_only_ba(CAM, T0, xyz_w, obs, jnp.ones(obs.shape[0]), ok)
+        err = (res.T @ T_gt.inverse()).log()
+        assert np.isfinite(np.asarray(res.T.t)).all()
+        assert float(jnp.max(jnp.abs(err))) < 1e-3

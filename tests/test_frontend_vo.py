@@ -1,0 +1,79 @@
+"""End-to-end visual odometry: frontend over a synthetic sequence, ATE check.
+
+This is the "minimum end-to-end slice" milestone of SURVEY.md §7 step 4:
+grabber + preprocessing + dense tracking + disparity + FAST + guided matching
++ motion-only BA + keyframe policy, no backend optimization yet (poses chain
+from the keyframe graph exactly as the reference behaves before any optimize
+call runs).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.io.synthetic import SyntheticSequence
+from scavislam_tpu.models.frontend import StereoFrontend
+from scavislam_tpu.utils.config import Config
+
+CAM = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+
+
+def run_vo(n_frames=8, kind="forward_arc", step=0.02, use_gt_disp=False):
+    seq = SyntheticSequence(CAM, n_frames=n_frames, kind=kind, step=step)
+    fe = StereoFrontend(CAM, Config())
+    f0 = seq.frame(0)
+    f0["use_gt_disp"] = use_gt_disp
+    fe.process_first_frame(f0)
+    est, gt = [f0["T_cw_gt"]], [f0["T_cw_gt"]]
+    for i in range(1, n_frames):
+        f = seq.frame(i)
+        f["use_gt_disp"] = use_gt_disp
+        success, dropped = fe.process_frame(f)
+        assert success, f"tracking failed at frame {i}"
+        est.append(fe._world_pose())
+        gt.append(f["T_cw_gt"])
+    return fe, est, gt
+
+
+def ate_rmse(est, gt):
+    errs = []
+    for Te, Tg in zip(est, gt):
+        errs.append(np.asarray((Te @ Tg.inverse()).t))
+    errs = np.stack(errs)
+    return float(np.sqrt((errs**2).sum(axis=1).mean()))
+
+
+class TestVisualOdometry:
+    def test_short_sequence_ate(self):
+        fe, est, gt = run_vo(n_frames=8)
+        ate = ate_rmse(est, gt)
+        assert ate < 0.02, f"ATE {ate:.4f} m too large"
+
+    def test_keyframes_created_on_motion(self):
+        fe, est, gt = run_vo(n_frames=10, step=0.06)
+        # moving ~0.1m/frame with parallax_thr 0.75 should still mostly hold
+        # one keyframe; with enough motion eventually drops a second one
+        assert fe.next_kf >= 1
+        assert len(fe.to_optimizer_stack) == fe.next_kf
+
+    def test_point_map_grows(self):
+        fe, est, gt = run_vo(n_frames=4)
+        assert fe.next_point > 0
+        valid = np.asarray(fe.points.valid)
+        assert valid.sum() > 100
+
+    def test_tracking_failure_reported(self):
+        seq = SyntheticSequence(CAM, n_frames=2)
+        fe = StereoFrontend(CAM, Config())
+        f0 = seq.frame(0)
+        fe.process_first_frame(f0)
+        # feed a black frame: no corners, no matches -> failure, no crash
+        blank = {
+            "frame_id": 1,
+            "left": jnp.zeros_like(f0["left"]),
+            "right": jnp.zeros_like(f0["right"]),
+        }
+        success, dropped = fe.process_frame(blank)
+        assert not success

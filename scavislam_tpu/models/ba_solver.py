@@ -103,9 +103,11 @@ class BAStats(NamedTuple):
     num_edges: jnp.ndarray
 
 
-# observation information: diag(1, 1, 1/3^2) * 4^-level
-# (slam_graph.cpp:1009-1013 semantics)
-_DISP_INFO = 1.0 / 9.0
+# observation information: diag(4^-level, 4^-level, 0.333^2) — note the
+# disparity component is NOT level-scaled in the reference
+# (slam_graph.cpp:1009-1013: Lambda(0,0) and (1,1) *= pyr_factor,
+# Lambda(2,2) *= 0.333^2). obs_weight carries the 4^-level factor.
+_DISP_INFO = 0.333 * 0.333
 
 
 def _obs_residuals(cam_params, prob: BAProblem, R, t, psi):
@@ -177,8 +179,11 @@ def _huber_weight(s, delta):
 
 def _chi2(cam_params, prob, R, t, psi, huber):
     r, mask, _ = _obs_residuals(cam_params, prob, R, t, psi)
-    info = jnp.array([1.0, 1.0, _DISP_INFO], jnp.float32)
-    s = jnp.sum(r * r * info, axis=-1) * prob.obs_weight
+    # per-component info: (w_l, w_l, 0.333^2) with w_l = obs_weight = 4^-level
+    info = jnp.stack(
+        [prob.obs_weight, prob.obs_weight,
+         jnp.full_like(prob.obs_weight, _DISP_INFO)], axis=-1)
+    s = jnp.sum(r * r * info, axis=-1)
     w = _huber_weight(s, huber)
     chi_obs = jnp.sum(jnp.where(mask, w * s, 0.0))
     d, emask = _edge_residuals(prob, R, t)
@@ -223,11 +228,13 @@ def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber):
     Jpsi_inner = jnp.stack([r1, r2, -Rx], axis=-1) / q[:, None, None]
     Jp = Jproj @ Jpsi_inner  # (O, 3, 3)
 
-    # --- robust info weights
-    info = jnp.array([1.0, 1.0, _DISP_INFO], jnp.float32)
-    s = jnp.sum(r * r * info, axis=-1) * prob.obs_weight
-    w = _huber_weight(s, huber) * prob.obs_weight * mask
-    Winfo = w[:, None] * info[None, :]  # (O, 3) diagonal info per obs
+    # --- robust info weights: diag(w_l, w_l, 0.333^2) scaled by Huber
+    info = jnp.stack(
+        [prob.obs_weight, prob.obs_weight,
+         jnp.full_like(prob.obs_weight, _DISP_INFO)], axis=-1)
+    s = jnp.sum(r * r * info, axis=-1)
+    w = _huber_weight(s, huber) * mask
+    Winfo = w[:, None] * info  # (O, 3) diagonal info per obs
 
     # residual Jacobian = -J; gradient g = J^T W r with our sign conventions:
     # minimize ||obs-pred||_W; normal equations H dx = J^T W r.

@@ -1,0 +1,609 @@
+"""Covisibility SLAM graph with Double Window Optimization (DWO).
+
+Re-implements the reference's SlamGraph
+(/root/reference/scavislam/slam_graph.{hpp,cpp}), the heart of "Double Window
+Optimisation for Constant Time Visual SLAM": per-keyframe cost is bounded
+regardless of trajectory length because each optimization touches only an
+inner window (full point BA, 7-30 keyframes) plus an outer window (pose graph,
+100-200 keyframes), with everything else frozen behind marginalized relative
+constraints.
+
+Division of labor (TPU-first):
+- graph TOPOLOGY (vertices, covisibility edges, constraints, BFS windowing,
+  marginalization bookkeeping, pose reinitialization) lives on host — small
+  scalar/set work where numpy/dicts beat any accelerator;
+- the numerical SOLVE is the batched Schur BA of models.ba_solver — one jitted
+  device program per call with static shapes (windows padded to capacity).
+
+Parity map (reference -> here):
+- addFirstKeyframe (slam_graph.cpp:255-268)      -> add_first_keyframe
+- addKeyframe (143-186, 358-464)                 -> add_keyframe
+- registerKeyframes (188-205)                    -> register_keyframes
+- addLoopClosure (207-251)                       -> add_loop_closure
+- prepareForOptimization (288-310):
+    computeInitialDoubleWin (555-596)            -> _compute_double_window
+    computeActivePointsAndExtendOuterWindow
+      (599-663)                                  -> _active_points
+    reinitializePoses (665-725)                  -> _reinitialize_poses
+    unmargPosesEnteringInnerW (728-759)          -> _unmarginalize_inner
+    margPosesLeftInnerWindow (848-904)           -> _marginalize_leaving
+- computeConstraint heuristic Lambda (785-846)   -> _compute_constraint
+- optimize via g2o (319-355, 907-1080)           -> optimize (solve_ba)
+- computeAbsolutePose (762-782)                  -> compute_absolute_pose
+- shortestPathToWindow / framesInNeighborhood
+  (64-140)                                       -> frames_in_neighborhood
+
+Deviation (documented): the reference leaves ALL poses free in g2o (gauge held
+only by LM damping + constraints, slam_graph.cpp:924-927); we fix the ROOT
+pose during each solve — strictly better conditioned, and since
+reinitializePoses rebases everything from the root anyway, trajectories agree.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.models.ba_solver import BAProblem, solve_ba
+
+import jax.numpy as jnp
+
+INNER = 1
+OUTER = 2
+
+LOCAL = 0
+METRIC = 1
+APPEARANCE = 2
+
+
+def _se3_np(T: SE3):
+    return np.asarray(T.R, np.float64), np.asarray(T.t, np.float64)
+
+
+@dataclass
+class GraphVertex:
+    """Parity: SlamGraph::Vertex (slam_graph.hpp:65-97)."""
+
+    own_id: int
+    R: np.ndarray  # T_me_from_world
+    t: np.ndarray
+    feature_table: dict = field(default_factory=dict)  # point_id -> (uvu, level)
+    neighbor_strengths: dict = field(default_factory=dict)  # nbr_id -> strength
+
+    @property
+    def T(self) -> SE3:
+        return SE3(jnp.asarray(self.R, jnp.float32),
+                   jnp.asarray(self.t, jnp.float32))
+
+    def set_T(self, T: SE3):
+        self.R, self.t = _se3_np(T)
+
+
+@dataclass
+class GraphPoint:
+    """Parity: SlamGraph::Point (slam_graph.hpp:102-137)."""
+
+    own_id: int
+    psi: np.ndarray  # inverse-depth in anchor frame
+    anchor_id: int
+    level: int
+    vis_set: set = field(default_factory=set)
+
+
+@dataclass
+class GraphEdge:
+    """Parity: SlamGraph::Edge (slam_graph.hpp:143-190). Constraint stores
+    T_1_from_2 for the ORDERED pair (id1 < id2) plus its information."""
+
+    id1: int
+    id2: int
+    strength: int
+    edge_type: int
+    # marginalized constraint; None while the edge is inside the inner window
+    R_1_from_2: Optional[np.ndarray] = None
+    t_1_from_2: Optional[np.ndarray] = None
+    Lambda: Optional[np.ndarray] = None
+
+    def is_marginalized(self):
+        return self.R_1_from_2 is not None
+
+
+class SlamGraph:
+    def __init__(
+        self,
+        cam: StereoCamera,
+        covis_thr: int = 15,
+        inner_window_size: int = 15,
+        double_window_size: int = 115,
+        ba_capacity=(128, 2048, 8192, 512),
+    ):
+        self.cam = cam
+        self.covis_thr = covis_thr
+        self.inner_window_size = inner_window_size
+        self.double_window_size = double_window_size
+        self.vertices: dict[int, GraphVertex] = {}
+        self.points: dict[int, GraphPoint] = {}
+        self.edges: dict[tuple, GraphEdge] = {}
+        self.double_window: dict[int, int] = {}
+        self.active_points: set = set()
+        self.outer_points: set = set()
+        self._caps = ba_capacity
+        self.stats = {"calc_time": 0.0, "chi2_init": 0.0, "chi2_final": 0.0}
+
+    # -- edge table (parity: EdgeTable, slam_graph.hpp:197-363) ---------- #
+    @staticmethod
+    def _key(a, b):
+        return (a, b) if a < b else (b, a)
+
+    def find_edge(self, a, b) -> Optional[GraphEdge]:
+        return self.edges.get(self._key(a, b))
+
+    def insert_edge(self, a, b, strength, edge_type):
+        k = self._key(a, b)
+        assert k not in self.edges
+        self.edges[k] = GraphEdge(k[0], k[1], strength, edge_type)
+
+    def set_constraint(self, a, b, T_a_from_b: SE3, Lambda: np.ndarray):
+        """Store constraint in the ordered direction (id1_from_id2)."""
+        k = self._key(a, b)
+        e = self.edges[k]
+        if a == k[0]:
+            T = T_a_from_b
+        else:
+            T = T_a_from_b.inverse()
+        e.R_1_from_2, e.t_1_from_2 = _se3_np(T)
+        e.Lambda = np.asarray(Lambda, np.float64)
+
+    def unmarginalize(self, a, b):
+        e = self.edges[self._key(a, b)]
+        e.R_1_from_2 = None
+        e.t_1_from_2 = None
+        e.Lambda = None
+
+    def get_constraint(self, id1, id2) -> Optional[SE3]:
+        """T_id1_from_id2 if the edge is marginalized."""
+        e = self.find_edge(id1, id2)
+        if e is None or not e.is_marginalized():
+            return None
+        T = SE3(jnp.asarray(e.R_1_from_2, jnp.float32),
+                jnp.asarray(e.t_1_from_2, jnp.float32))
+        return T if id1 == e.id1 else T.inverse()
+
+    # -- graph construction --------------------------------------------- #
+    def add_first_keyframe(self, kf_id: int, T_kw: SE3 = None):
+        assert not self.vertices
+        v = GraphVertex(kf_id, *_se3_np(T_kw or SE3.identity()))
+        self.vertices[kf_id] = v
+
+    def add_keyframe(
+        self,
+        kf_id: int,
+        T_kw: SE3,
+        new_points: list,  # [(point_id, psi(3,), level, uvu(3,))]
+        tracked: list,  # [(point_id, uvu(3,), level)]
+        strengths: dict,  # neighbor kf_id -> shared count
+        oldkey_id: int,
+    ):
+        """Parity: addKeyframe (slam_graph.cpp:143-186)."""
+        v = GraphVertex(kf_id, *_se3_np(T_kw))
+        strengths = dict(strengths)
+        # floor the strength to oldkey (slam_graph.cpp:168-175)
+        strengths[oldkey_id] = max(strengths.get(oldkey_id, 0), self.covis_thr)
+
+        # new points anchored here (addNewPointsToMap, 358-397)
+        for pid, psi, level, uvu in new_points:
+            self.points[pid] = GraphPoint(
+                pid, np.asarray(psi, np.float64), kf_id, int(level), {kf_id}
+            )
+            v.feature_table[pid] = (np.asarray(uvu, np.float64), int(level))
+
+        # observations of old points (addNewObsToOldPoints, 400-420)
+        for pid, uvu, level in tracked:
+            if pid in self.points:
+                self.points[pid].vis_set.add(kf_id)
+                v.feature_table[pid] = (np.asarray(uvu, np.float64), int(level))
+
+        self.vertices[kf_id] = v
+
+        # edges + immediate constraint marginalization (addNewEdges, 423-464)
+        for nbr, s in strengths.items():
+            if nbr not in self.vertices or s < self.covis_thr:
+                continue
+            v.neighbor_strengths[nbr] = s
+            self.vertices[nbr].neighbor_strengths[kf_id] = s
+            if self.find_edge(kf_id, nbr) is None:
+                self.insert_edge(kf_id, nbr, s, LOCAL)
+                T_c, Lam = self._compute_constraint(kf_id, nbr)
+                self.set_constraint(kf_id, nbr, T_c, Lam)
+
+    def register_keyframes(self, root_id: int, T_newroot_from_w: SE3,
+                           strengths: dict, tracked: list):
+        """Metric local registration (slam_graph.cpp:188-205): add obs + METRIC
+        edges with the root temporarily teleported to its re-registered pose."""
+        v = self.vertices[root_id]
+        saved = (v.R.copy(), v.t.copy())
+        v.set_T(T_newroot_from_w)
+        for pid, uvu, level in tracked:
+            if pid in self.points:
+                self.points[pid].vis_set.add(root_id)
+                v.feature_table[pid] = (np.asarray(uvu, np.float64), int(level))
+        for nbr, s in strengths.items():
+            if nbr not in self.vertices or s < self.covis_thr:
+                continue
+            v.neighbor_strengths[nbr] = max(
+                v.neighbor_strengths.get(nbr, 0), s
+            )
+            self.vertices[nbr].neighbor_strengths[root_id] = (
+                v.neighbor_strengths[nbr]
+            )
+            if self.find_edge(root_id, nbr) is None:
+                self.insert_edge(root_id, nbr, s, METRIC)
+                T_c, Lam = self._compute_constraint(root_id, nbr)
+                self.set_constraint(root_id, nbr, T_c, Lam)
+        v.R, v.t = saved
+
+    def add_loop_closure(self, root_id: int, loop_id: int,
+                         T_newloop_from_w: SE3, tracked: list):
+        """Appearance loop closure (slam_graph.cpp:207-251): constraint
+        computed with the loop vertex teleported into the query's metric
+        frame."""
+        strength = len(tracked)
+        v_loop = self.vertices[loop_id]
+        v_root = self.vertices[root_id]
+        for pid, uvu, level in tracked:
+            if pid in self.points:
+                self.points[pid].vis_set.add(loop_id)
+                v_loop.feature_table[pid] = (
+                    np.asarray(uvu, np.float64), int(level)
+                )
+        v_loop.neighbor_strengths[root_id] = strength
+        v_root.neighbor_strengths[loop_id] = strength
+        if self.find_edge(root_id, loop_id) is None:
+            self.insert_edge(root_id, loop_id, strength, APPEARANCE)
+        saved = (v_loop.R.copy(), v_loop.t.copy())
+        v_loop.set_T(T_newloop_from_w)
+        T_c, Lam = self._compute_constraint(loop_id, root_id)
+        self.set_constraint(loop_id, root_id, T_c, Lam)
+        v_loop.R, v_loop.t = saved
+
+    # -- constraint heuristic -------------------------------------------- #
+    def _compute_constraint(self, id1, id2):
+        """Parity: computeConstraint (slam_graph.cpp:785-846):
+        T_1_from_2 from current estimates; Lambda = strength * diag(
+        (350*|t|/median_depth)^2 * I3, 100^2 * I3)."""
+        v1, v2 = self.vertices[id1], self.vertices[id2]
+        T1 = v1.T
+        T_1_from_2 = T1 @ v2.T.inverse()
+        depths = []
+        for pid in v1.feature_table:
+            if pid not in v2.feature_table or pid not in self.points:
+                continue
+            p = self.points[pid]
+            T_aw = self._pose_of(p.anchor_id)
+            xyz_a = _invert_depth_np(p.psi)
+            xyz_w = _apply_np(_inv_np(T_aw), xyz_a)
+            xyz_1 = _apply_np((v1.R, v1.t), xyz_w)
+            depths.append(np.linalg.norm(xyz_1))
+        visibility = max(len(depths), 1)
+        med = float(np.median(depths)) if depths else 1.0
+        med = max(med, 1e-6)
+        t_norm = float(np.linalg.norm(np.asarray(T_1_from_2.t)))
+        norm_dist = t_norm / med
+        Lam = np.eye(6) * visibility
+        Lam[:3, :3] *= (350.0 * norm_dist) ** 2
+        Lam[3:, 3:] *= 100.0**2
+        return T_1_from_2, Lam
+
+    def _pose_of(self, kf_id):
+        if kf_id in self.vertices:
+            v = self.vertices[kf_id]
+            return (v.R, v.t)
+        raise KeyError(kf_id)
+
+    # -- windows ---------------------------------------------------------- #
+    def _compute_double_window(self, root_id):
+        """BFS by covis strength (strongest first), first `inner` become
+        INNER (slam_graph.cpp:555-596)."""
+        dw = {}
+        q = deque([root_id])
+        while q and len(dw) < self.double_window_size:
+            vid = q.popleft()
+            if vid in dw or vid not in self.vertices:
+                continue
+            dw[vid] = INNER if len(dw) < self.inner_window_size else OUTER
+            v = self.vertices[vid]
+            for nbr in sorted(v.neighbor_strengths,
+                              key=lambda k: -v.neighbor_strengths[k]):
+                q.append(nbr)
+        return dw
+
+    def _active_points(self):
+        """Active points + outer-window extension to anchors
+        (slam_graph.cpp:599-663)."""
+        active, outer_pts = set(), set()
+        extend = {}
+        for fid, wtype in self.double_window.items():
+            v = self.vertices[fid]
+            if wtype == INNER:
+                for pid in v.feature_table:
+                    if pid in active or pid not in self.points:
+                        continue
+                    p = self.points[pid]
+                    if p.anchor_id in self.double_window:
+                        active.add(pid)
+                    elif self.find_edge(fid, p.anchor_id) is not None:
+                        active.add(pid)
+                        extend[p.anchor_id] = OUTER
+            else:
+                for pid in v.feature_table:
+                    outer_pts.add(pid)
+        self.double_window.update(extend)
+        self.active_points = active
+        self.outer_points = outer_pts - active
+
+    def _reinitialize_poses(self, root_id, old_window, loop_id=-1):
+        """BFS from root; poses newly entering the window (or downstream of
+        the loop vertex) are re-chained through relative constraints
+        (slam_graph.cpp:665-725)."""
+        q = deque([(root_id, -1, None, False)])
+        visited = set()
+        while q:
+            own, parent, T_parent, mark = q.popleft()
+            if own in visited or own not in self.double_window:
+                continue
+            visited.add(own)
+            v = self.vertices[own]
+            reinit_childs = mark or own == loop_id
+            if parent > -1 and (reinit_childs or own not in old_window):
+                T_rel = self._relative_pose(own, parent)
+                v.set_T(T_rel @ T_parent)
+            for nbr in sorted(v.neighbor_strengths,
+                              key=lambda k: -v.neighbor_strengths[k]):
+                q.append((nbr, own, v.T, reinit_childs))
+
+    def _relative_pose(self, id1, id2) -> SE3:
+        """T_1_from_2 from the marginalized constraint if present, else from
+        current estimates (slam_graph.cpp:270-286)."""
+        T = self.get_constraint(id1, id2)
+        if T is not None:
+            return T
+        return self.vertices[id1].T @ self.vertices[id2].T.inverse()
+
+    def _unmarginalize_inner(self):
+        for i in self.double_window:
+            if self.double_window[i] != INNER:
+                continue
+            for j in self.double_window:
+                if i == j or self.double_window[j] != INNER:
+                    continue
+                e = self.find_edge(i, j)
+                if e is not None and e.is_marginalized():
+                    self.unmarginalize(i, j)
+
+    def _marginalize_leaving(self, old_window):
+        """Edges whose both ends were INNER but are no longer both INNER get a
+        fresh constraint (slam_graph.cpp:848-904)."""
+        for i, w1 in old_window.items():
+            if w1 != INNER:
+                continue
+            for j, w2 in old_window.items():
+                if i == j or w2 != INNER:
+                    continue
+                e = self.find_edge(i, j)
+                if e is None:
+                    continue
+                now_i = self.double_window.get(i) == INNER
+                now_j = self.double_window.get(j) == INNER
+                if not (now_i and now_j) and not e.is_marginalized():
+                    T_c, Lam = self._compute_constraint(i, j)
+                    self.set_constraint(i, j, T_c, Lam)
+
+    def prepare_for_optimization(self, root_id: int, loop_id: int = -1) -> bool:
+        """Parity: prepareForOptimization (slam_graph.cpp:288-310)."""
+        old_window = dict(self.double_window)
+        self.double_window = self._compute_double_window(root_id)
+        self._active_points()
+        self._reinitialize_poses(root_id, old_window, loop_id)
+        if len(self.double_window) < 2:
+            self.double_window = old_window
+            return False
+        self._unmarginalize_inner()
+        self._marginalize_leaving(old_window)
+        self._root_id = root_id
+        return True
+
+    # -- optimization ------------------------------------------------------ #
+    def optimize(self, num_iters: int = 2, huber: float = 3.0):
+        """Build the static-shape BAProblem from the current double window and
+        run the device Schur solver; write results back.
+        Parity: optimize + copyDataToG2o (slam_graph.cpp:319-355, 907-1080)."""
+        P, L, O, E = self._caps
+        window_ids = list(self.double_window.keys())
+        if len(window_ids) < 2:
+            return
+        if len(window_ids) > P:
+            # keep root + strongest; should not happen with proper configs
+            window_ids = window_ids[:P]
+        slot_of = {kf: i for i, kf in enumerate(window_ids)}
+
+        R = np.zeros((P, 3, 3), np.float32)
+        R[:, 0, 0] = R[:, 1, 1] = R[:, 2, 2] = 1.0
+        t = np.zeros((P, 3), np.float32)
+        pose_valid = np.zeros(P, bool)
+        pose_fixed = np.zeros(P, bool)
+        for kf, i in slot_of.items():
+            v = self.vertices[kf]
+            R[i] = v.R
+            t[i] = v.t
+            pose_valid[i] = True
+        root = getattr(self, "_root_id", window_ids[0])
+        pose_fixed[slot_of.get(root, 0)] = True
+
+        psi = np.zeros((L, 3), np.float32)
+        anchor_slot = np.zeros(L, np.int32)
+        point_valid = np.zeros(L, bool)
+        active = [
+            pid for pid in self.active_points
+            if self.points[pid].anchor_id in slot_of
+        ]
+        active = active[:L]
+        pslot = {}
+        for i, pid in enumerate(active):
+            p = self.points[pid]
+            psi[i] = p.psi
+            anchor_slot[i] = slot_of[p.anchor_id]
+            point_valid[i] = True
+            pslot[pid] = i
+
+        obs_pose = np.zeros(O, np.int32)
+        obs_point = np.zeros(O, np.int32)
+        obs_uvu = np.zeros((O, 3), np.float32)
+        obs_w = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        n_obs = 0
+        for pid in active:
+            p = self.points[pid]
+            for fid in p.vis_set:
+                if fid not in slot_of or n_obs >= O:
+                    continue
+                feat = self.vertices[fid].feature_table.get(pid)
+                if feat is None:
+                    continue
+                uvu, level = feat
+                obs_pose[n_obs] = slot_of[fid]
+                obs_point[n_obs] = pslot[pid]
+                obs_uvu[n_obs] = uvu
+                obs_w[n_obs] = 0.25**level
+                obs_valid[n_obs] = True
+                n_obs += 1
+
+        e_i = np.zeros(E, np.int32)
+        e_j = np.zeros(E, np.int32)
+        e_R = np.zeros((E, 3, 3), np.float32)
+        e_R[:, 0, 0] = e_R[:, 1, 1] = e_R[:, 2, 2] = 1.0
+        e_t = np.zeros((E, 3), np.float32)
+        e_info = np.zeros((E, 6, 6), np.float32)
+        e_valid = np.zeros(E, bool)
+        n_e = 0
+        # relative-pose edges where either end is OUTER
+        # (copyContraintsToG2o, slam_graph.cpp:937-981)
+        for (a, b), e in self.edges.items():
+            if a not in slot_of or b not in slot_of or n_e >= E:
+                continue
+            w1 = self.double_window[a]
+            w2 = self.double_window[b]
+            if w1 != OUTER and w2 != OUTER:
+                continue
+            if not e.is_marginalized():
+                continue
+            # our BA edge stores T_j_from_i for pair (i=a, j=b);
+            # edge constraint holds T_id1_from_id2 = T_a_from_b
+            T_b_from_a = self.get_constraint(b, a)
+            e_i[n_e] = slot_of[a]
+            e_j[n_e] = slot_of[b]
+            e_R[n_e] = np.asarray(T_b_from_a.R)
+            e_t[n_e] = np.asarray(T_b_from_a.t)
+            e_info[n_e] = e.Lambda
+            e_valid[n_e] = True
+            n_e += 1
+
+        prob = BAProblem(
+            jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(pose_valid), jnp.asarray(pose_fixed),
+            jnp.asarray(psi), jnp.asarray(anchor_slot),
+            jnp.asarray(point_valid),
+            jnp.asarray(obs_pose), jnp.asarray(obs_point),
+            jnp.asarray(obs_uvu), jnp.asarray(obs_w), jnp.asarray(obs_valid),
+            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_R),
+            jnp.asarray(e_t), jnp.asarray(e_info), jnp.asarray(e_valid),
+        )
+        cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
+                      self.cam.baseline)
+        import time
+
+        t0 = time.perf_counter()
+        R_new, t_new, psi_new, stats = solve_ba(
+            cam_params, prob, iters=num_iters, huber=huber
+        )
+        R_new = np.asarray(R_new)
+        t_new = np.asarray(t_new)
+        psi_new = np.asarray(psi_new)
+        self.stats["calc_time"] = time.perf_counter() - t0
+        self.stats["chi2_init"] = float(stats.chi2_initial)
+        self.stats["chi2_final"] = float(stats.chi2_final)
+
+        # write back (restoreDataFromG2o, slam_graph.cpp:1035-1080)
+        for kf, i in slot_of.items():
+            self.vertices[kf].R = R_new[i].astype(np.float64)
+            self.vertices[kf].t = t_new[i].astype(np.float64)
+        for pid, i in pslot.items():
+            self.points[pid].psi = psi_new[i].astype(np.float64)
+
+    # -- queries ----------------------------------------------------------- #
+    def compute_absolute_pose(self, kf_id: int) -> SE3:
+        """Chain marginalized relative constraints from the double window to
+        `kf_id` (slam_graph.cpp:762-782)."""
+        if kf_id in self.double_window:
+            return self.vertices[kf_id].T
+        # BFS from kf_id to the window
+        q = deque([kf_id])
+        parent = {kf_id: None}
+        hit = None
+        while q:
+            vid = q.popleft()
+            if vid in self.double_window:
+                hit = vid
+                break
+            for nbr in self.vertices[vid].neighbor_strengths:
+                if nbr not in parent:
+                    parent[nbr] = vid
+                    q.append(nbr)
+        if hit is None:
+            return self.vertices[kf_id].T
+        # chain from the window vertex back to kf_id
+        chain = [hit]
+        while parent[chain[-1]] is not None:
+            chain.append(parent[chain[-1]])
+        # chain = [window vertex, ..., kf_id]; fold T_k_from_{k-1} left-to-right
+        T = self.vertices[hit].T
+        for k in range(1, len(chain)):
+            T = self._relative_pose(chain[k], chain[k - 1]) @ T
+        return T
+
+    def frames_in_neighborhood(self, root_id: int, max_frames: int):
+        """BFS by strength limited to max_frames (slam_graph.cpp:105-140)."""
+        out = []
+        q = deque([root_id])
+        seen = set()
+        while q and len(out) < max_frames:
+            vid = q.popleft()
+            if vid in seen or vid not in self.vertices:
+                continue
+            seen.add(vid)
+            out.append(vid)
+            v = self.vertices[vid]
+            for nbr in sorted(v.neighbor_strengths,
+                              key=lambda k: -v.neighbor_strengths[k]):
+                q.append(nbr)
+        return out
+
+
+# -- small numpy SE3 helpers (host hot path avoids jax dispatch) ------------ #
+
+def _invert_depth_np(psi):
+    return np.array([psi[0] / psi[2], psi[1] / psi[2], 1.0 / psi[2]])
+
+
+def _apply_np(Rt, x):
+    R, t = Rt
+    return R @ x + t
+
+
+def _inv_np(Rt):
+    R, t = Rt
+    return (R.T, -R.T @ t)

@@ -1,0 +1,218 @@
+"""DWO SlamGraph: windows, marginalization, optimization, loop closure."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.core.transforms import psi_from_xyz
+from scavislam_tpu.models.slam_graph import INNER, OUTER, SlamGraph
+
+CAM = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+
+rng = np.random.RandomState(0)
+
+
+def make_world_points(n=60, z=6.0):
+    pts = np.stack(
+        [rng.uniform(-2, 5, n), rng.uniform(-1.5, 1.5, n), np.full(n, z)],
+        axis=-1,
+    ).astype(np.float32)
+    return jnp.asarray(pts)
+
+
+def gt_pose(i):
+    """Camera slides right along x, keeping the wall visible."""
+    T_wc = SE3(jnp.eye(3), jnp.asarray([0.35 * i, 0.0, 0.0], jnp.float32))
+    return T_wc.inverse()
+
+
+def visible(T_cw, xyz_w):
+    uvu = CAM.map_uvu(T_cw.apply(xyz_w))
+    z = T_cw.apply(xyz_w)[:, 2]
+    return (
+        (uvu[:, 0] > 8) & (uvu[:, 0] < 248) & (uvu[:, 1] > 8)
+        & (uvu[:, 1] < 184) & (z > 0.5)
+    )
+
+
+def build_graph(n_kf=8, perturb=0.0, key_noise=None):
+    """Graph from a GT trajectory: each new keyframe observes all visible
+    points, anchored at their first observer."""
+    g = SlamGraph(CAM, covis_thr=5, inner_window_size=4,
+                  double_window_size=12,
+                  ba_capacity=(16, 256, 2048, 64))
+    xyz_w = make_world_points()
+    n_pts = xyz_w.shape[0]
+    anchored = {}  # point id -> anchor kf
+    poses_est = {}
+
+    for i in range(n_kf):
+        T_gt = gt_pose(i)
+        if perturb > 0 and i > 0:
+            d = jnp.asarray(rng.randn(6) * perturb, jnp.float32)
+            T_est = SE3.exp(d) @ T_gt
+        else:
+            T_est = T_gt
+        poses_est[i] = T_est
+        vis = np.asarray(visible(T_gt, xyz_w))
+        uvu_all = np.asarray(CAM.map_uvu(T_gt.apply(xyz_w)))
+
+        new_points, tracked, strengths = [], [], {}
+        for p in range(n_pts):
+            if not vis[p]:
+                continue
+            if p not in anchored:
+                if i == 0 or True:
+                    anchored[p] = i
+                    xyz_a = T_est.apply(xyz_w[p])  # anchor at ESTIMATED pose
+                    psi = np.asarray(psi_from_xyz(xyz_a))
+                    new_points.append((p, psi, 0, uvu_all[p]))
+            else:
+                a = anchored[p]
+                tracked.append((p, uvu_all[p], 0))
+                strengths[a] = strengths.get(a, 0) + 1
+
+        if i == 0:
+            g.add_first_keyframe(0, T_est)
+            v = g.vertices[0]
+            for pid, psi, level, uvu in new_points:
+                from scavislam_tpu.models.slam_graph import GraphPoint
+
+                g.points[pid] = GraphPoint(pid, np.asarray(psi, np.float64),
+                                           0, 0, {0})
+                v.feature_table[pid] = (np.asarray(uvu, np.float64), 0)
+        else:
+            g.add_keyframe(i, T_est, new_points, tracked, strengths, i - 1)
+    return g, xyz_w
+
+
+class TestWindows:
+    def test_double_window_types(self):
+        g, _ = build_graph(8)
+        assert g.prepare_for_optimization(7)
+        inner = [k for k, v in g.double_window.items() if v == INNER]
+        outer = [k for k, v in g.double_window.items() if v == OUTER]
+        assert 7 in inner
+        assert len(inner) <= 4
+        assert len(inner) + len(outer) <= 12
+
+    def test_active_points_anchored_in_window(self):
+        g, _ = build_graph(8)
+        g.prepare_for_optimization(7)
+        for pid in g.active_points:
+            assert g.points[pid].anchor_id in g.double_window
+
+    def test_inner_edges_unmarginalized(self):
+        g, _ = build_graph(8)
+        g.prepare_for_optimization(7)
+        inner = {k for k, v in g.double_window.items() if v == INNER}
+        for (a, b), e in g.edges.items():
+            if a in inner and b in inner:
+                assert not e.is_marginalized(), (a, b)
+
+    def test_marginalize_on_window_slide(self):
+        g, _ = build_graph(10)
+        g.prepare_for_optimization(5)
+        inner_before = {k for k, v in g.double_window.items() if v == INNER}
+        g.prepare_for_optimization(9)
+        inner_after = {k for k, v in g.double_window.items() if v == INNER}
+        left = inner_before - inner_after
+        # edges between a left-behind pose and anything else must carry a
+        # constraint again
+        for (a, b), e in g.edges.items():
+            both_inner_now = a in inner_after and b in inner_after
+            if not both_inner_now:
+                assert e.is_marginalized(), (a, b)
+
+
+class TestOptimize:
+    def test_ba_improves_perturbed_poses(self):
+        """Build the graph CONSISTENTLY (constraints encode GT relative
+        poses, as they would after clean tracking), then perturb the pose
+        estimates and check BA pulls them back. Perturbing during
+        construction instead would bake the error into the marginalized
+        constraints — which faithfully mirrors the reference, but tests
+        nothing about the solver."""
+        g, xyz_w = build_graph(8, perturb=0.0)
+        # first prepare marks the window as 'old' so the second prepare's
+        # reinitializePoses will NOT rebase in-window poses (reference
+        # behavior: only poses newly entering the window are re-chained,
+        # slam_graph.cpp:699-706) — the perturbation below must be fixed by
+        # the SOLVER, not by the reinit walk.
+        assert g.prepare_for_optimization(7)
+        for i in range(1, 8):
+            d = jnp.asarray(rng.randn(6) * 0.01, jnp.float32)
+            g.vertices[i].set_T(SE3.exp(d) @ g.vertices[i].T)
+
+        def rel_ate():
+            T_root = g.vertices[7].T
+            T_root_gt = gt_pose(7)
+            errs = []
+            for i in g.double_window:
+                rel_est = g.vertices[i].T @ T_root.inverse()
+                rel_gt = gt_pose(i) @ T_root_gt.inverse()
+                errs.append(np.linalg.norm(
+                    np.asarray((rel_est @ rel_gt.inverse()).t)))
+            return float(np.mean(errs))
+
+        assert g.prepare_for_optimization(7)
+        before = rel_ate()
+        g.optimize(num_iters=4)
+        after = rel_ate()
+        assert g.stats["chi2_final"] < g.stats["chi2_init"]
+        assert after < before
+        assert after < 5e-3, (before, after)
+
+    def test_exact_graph_stays_put(self):
+        g, _ = build_graph(6, perturb=0.0)
+        g.prepare_for_optimization(5)
+        poses_before = {i: (g.vertices[i].R.copy(), g.vertices[i].t.copy())
+                        for i in g.double_window}
+        g.optimize(num_iters=2)
+        for i, (R0, t0) in poses_before.items():
+            np.testing.assert_allclose(g.vertices[i].t, t0, atol=1e-3)
+
+
+class TestQueries:
+    def test_absolute_pose_outside_window(self):
+        g, _ = build_graph(10)
+        g.prepare_for_optimization(9)
+        outside = [i for i in g.vertices if i not in g.double_window]
+        if not outside:
+            pytest.skip("window covers everything")
+        T = g.compute_absolute_pose(outside[0])
+        err = np.asarray((T @ gt_pose(outside[0]).inverse()).t)
+        assert np.linalg.norm(err) < 0.05
+
+    def test_frames_in_neighborhood(self):
+        g, _ = build_graph(8)
+        nbrs = g.frames_in_neighborhood(7, 4)
+        assert nbrs[0] == 7
+        assert len(nbrs) == 4
+
+
+class TestLoopClosure:
+    def test_loop_reduces_drift(self):
+        """Simulate accumulated drift; a loop-closure constraint to kf0 pulls
+        the chain back."""
+        g, xyz_w = build_graph(8, perturb=0.0)
+        # inject drift into later keyframes (as if odometry drifted)
+        drift = SE3.exp(jnp.asarray([0.3, 0.1, 0.0, 0.0, 0.05, 0.0]))
+        for i in range(4, 8):
+            g.vertices[i].set_T(drift @ g.vertices[i].T)
+        # loop closure: kf7 recognized near kf0's place; T_newloop_from_w is
+        # the CORRECT pose of kf7 (what geometric verification returns)
+        tracked = [
+            (pid, np.asarray(CAM.map_uvu(gt_pose(7).apply(xyz_w[pid]))), 0)
+            for pid in range(10)
+        ]
+        g.add_loop_closure(0, 7, gt_pose(7), tracked)
+        ok = g.prepare_for_optimization(0, loop_id=7)
+        assert ok
+        g.optimize(num_iters=6)
+        err7 = np.linalg.norm(
+            np.asarray((g.vertices[7].T @ gt_pose(7).inverse()).t)
+        )
+        assert err7 < 0.15, err7

@@ -1,0 +1,427 @@
+"""Backend mapping thread: graph maintenance, DWO optimization, registration.
+
+Re-implements the reference's Backend (/root/reference/scavislam/backend.{h,
+cpp}): the thread body polls four sources in priority order
+(backend.cpp:157-224) —
+
+  A. new keyframes from the frontend -> insert into the SlamGraph (+ forward
+     to the place recognizer),
+  B. a neighborhood query -> prepare the double window, answer with the
+     root's neighborhood, then run one DWO optimize pass,
+  C. pending local-registration jobs ("metric loop closure",
+     backend.cpp:549-611): re-match the root keyframe against points of
+     non-neighbor keyframes in the extended neighborhood to densify the graph,
+  D. detected appearance loops -> verify geometry and insert a loop edge,
+     then optimize around the loop.
+
+The reference re-detects FAST corners with stored per-cell thresholds for the
+registration re-match (FastGrid::detect replay, fast_grid.cpp:60-83); here
+corner buckets are recomputed deterministically from the stored pyramid —
+identical corners because detection is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.models.map_store import MAX_POINTS, materialize_points
+from scavislam_tpu.models.matcher import _match_level
+from scavislam_tpu.models.pose_optimizer import motion_only_ba_robust
+from scavislam_tpu.models.slam_graph import INNER, OUTER, SlamGraph
+from scavislam_tpu.ops.fast import corner_buckets
+from scavislam_tpu.pipeline.monitors import BackendMonitor, PlaceRecognizerMonitor
+from scavislam_tpu.utils.config import Config
+
+NB_MAX_NEIGHBORS = 10  # backend.cpp:244-386 caps the neighborhood at 10
+REG_EXTRA_FRAMES = 40  # framesInNeighborhood(+40), backend.cpp:190-199
+MIN_LOOP_MATCHES = 25
+CAND_CAP = 1024
+
+
+class DetectedLoop:
+    """Parity: DetectedLoop (placerecognizer.h:43-48)."""
+
+    def __init__(self, query_id, loop_id, T_query_from_loop: SE3):
+        self.query_id = query_id
+        self.loop_id = loop_id
+        self.T_query_from_loop = T_query_from_loop
+
+
+class Backend:
+    def __init__(self, cam: StereoCamera, cfg: Config = None,
+                 monitor: BackendMonitor = None,
+                 place_monitor: PlaceRecognizerMonitor = None):
+        self.cfg = cfg or Config()
+        self.cam = cam
+        self.levels = self.cfg.use_n_levels_in_frontent
+        self.cams = [cam.scale_level(l) for l in range(self.levels)]
+        self.graph = SlamGraph(
+            cam,
+            covis_thr=self.cfg.frontend.covis_thr,
+            inner_window_size=self.cfg.graph.inner_window,
+            double_window_size=(
+                self.cfg.graph.inner_window + self.cfg.graph.outer_window
+            ),
+        )
+        self.monitor = monitor or BackendMonitor()
+        self.place_monitor = place_monitor
+        self.local_registration_stack: list[int] = []
+        self.keyframe_snapshots: dict[int, dict] = {}
+        self._last_tables = None  # (points_snapshot, poses_snapshot)
+        self.prev_kf_id = None
+
+    # -- thread body ----------------------------------------------------- #
+    def step(self) -> bool:
+        """One poll iteration of the backend loop (backend.cpp:157-224).
+        Returns True if any work was done."""
+        did = False
+        pkt = self.monitor.getKeyframe()
+        if pkt is not None:
+            self.add_keyframe_packet(pkt)
+            did = True
+
+        qid = self.monitor.getQueryFrameId()
+        if qid is not None and qid in self.graph.vertices:
+            if self.graph.prepare_for_optimization(qid):
+                self.local_registration_stack.append(qid)
+                self.monitor.pushDrawData(self.draw_data())
+                nb = self.compute_neighborhood(qid)
+                self.monitor.pushNeighborhood(nb)
+                self.graph.optimize(num_iters=2, huber=3.0)
+            did = True
+
+        if self.local_registration_stack:
+            fid = self.local_registration_stack.pop()
+            self.local_register_frame(fid)
+            did = True
+
+        if self.place_monitor is not None:
+            loop = self.place_monitor.getLoop()
+            if loop is not None:
+                self.global_loop_closure(loop)
+                did = True
+        return did
+
+    def run(self, stop_event):
+        """Thread entry point (parity: Backend::operator())."""
+        import time
+
+        while not stop_event.is_set():
+            if not self.step():
+                time.sleep(0.001)
+
+    # -- A: keyframe insertion ------------------------------------------- #
+    def add_keyframe_packet(self, pkt):
+        """Parity: addKeyframeToGraph (backend.cpp:389-404)."""
+        self.keyframe_snapshots[pkt.kf_id] = {
+            "pyr": pkt.pyr, "disp": pkt.disp, "T_kw": pkt.T_kw,
+        }
+        self._last_tables = (pkt.points_snapshot, pkt.poses_snapshot)
+        if not self.graph.vertices:
+            self.graph.add_first_keyframe(pkt.kf_id, pkt.T_kw)
+            v = self.graph.vertices[pkt.kf_id]
+            from scavislam_tpu.models.slam_graph import GraphPoint
+
+            for i, pid in enumerate(pkt.new_point_ids):
+                self.graph.points[int(pid)] = GraphPoint(
+                    int(pid), np.asarray(pkt.new_psi[i], np.float64),
+                    pkt.kf_id, int(pkt.new_levels[i]), {pkt.kf_id},
+                )
+                v.feature_table[int(pid)] = (
+                    np.asarray(pkt.new_uvu[i], np.float64),
+                    int(pkt.new_levels[i]),
+                )
+        else:
+            new_points = [
+                (int(pid), pkt.new_psi[i], int(pkt.new_levels[i]),
+                 pkt.new_uvu[i])
+                for i, pid in enumerate(pkt.new_point_ids)
+            ]
+            tracked = [
+                (int(pid), pkt.tracked_obs[i], int(pkt.tracked_levels[i]))
+                for i, pid in enumerate(pkt.tracked_point_ids)
+            ]
+            oldkey = self.prev_kf_id if self.prev_kf_id is not None else (
+                max(self.graph.vertices)
+            )
+            self.graph.add_keyframe(
+                pkt.kf_id, pkt.T_kw, new_points, tracked,
+                pkt.covis_strengths, oldkey,
+            )
+        self.prev_kf_id = pkt.kf_id
+        # forward to place recognition (backend.cpp:407-430)
+        if self.place_monitor is not None and pkt.pyr is not None:
+            exclude = set(pkt.covis_strengths) | {pkt.kf_id}
+            self.place_monitor.addKeyframeData(
+                {
+                    "kf_id": pkt.kf_id,
+                    "img": pkt.pyr[0],
+                    "disp": pkt.disp,
+                    "exclude": exclude,
+                }
+            )
+
+    # -- B: neighborhood -------------------------------------------------- #
+    def compute_neighborhood(self, root_id: int) -> dict:
+        """Root + <=10 strongest covisible neighbors inside the double window,
+        their points, optimized poses, and inter-neighbor strengths
+        (parity: Backend::computeNeighborhood, backend.cpp:244-386)."""
+        g = self.graph
+        v_root = g.vertices[root_id]
+        nbrs = [
+            n for n in sorted(v_root.neighbor_strengths,
+                              key=lambda k: -v_root.neighbor_strengths[k])
+            if n in g.double_window
+        ][:NB_MAX_NEIGHBORS]
+        kf_ids = [root_id] + nbrs
+        poses = {
+            kf: (g.vertices[kf].R.copy(), g.vertices[kf].t.copy())
+            for kf in kf_ids
+        }
+        point_ids, psi_ids, psi_vals = [], [], []
+        for kf in kf_ids:
+            for pid in g.vertices[kf].feature_table:
+                if pid in g.points:
+                    point_ids.append(pid)
+                    p = g.points[pid]
+                    if p.anchor_id in kf_ids:
+                        psi_ids.append(pid)
+                        psi_vals.append(p.psi)
+        strengths = {
+            (a, b): g.vertices[a].neighbor_strengths.get(b, 0)
+            for a in kf_ids for b in kf_ids if a < b
+        }
+        return {
+            "root": root_id,
+            "kf_ids": kf_ids,
+            "poses": poses,
+            "point_ids": np.asarray(sorted(set(point_ids)), np.int64),
+            "psi_ids": np.asarray(psi_ids, np.int64),
+            "psi_vals": np.asarray(psi_vals, np.float64).reshape(-1, 3),
+            "strengths": strengths,
+        }
+
+    def draw_data(self) -> dict:
+        """Snapshot of the double window for visualization (parity surface:
+        BackendDrawData, backend.h:35-44)."""
+        g = self.graph
+        return {
+            "inner": [k for k, v in g.double_window.items() if v == INNER],
+            "outer": [k for k, v in g.double_window.items() if v == OUTER],
+            "active_points": len(g.active_points),
+            "outer_points": len(g.outer_points),
+            "edges": [
+                (e.id1, e.id2, e.edge_type, e.is_marginalized())
+                for e in g.edges.values()
+            ],
+            "poses": {k: (v.R.copy(), v.t.copy())
+                      for k, v in g.vertices.items()},
+        }
+
+    # -- C: local registration (metric loop closure) ----------------------- #
+    def local_register_frame(self, root_id: int) -> bool:
+        """Parity: Backend::localRegisterFrame (backend.cpp:549-611):
+        harvest points anchored in frames of the EXTENDED neighborhood that
+        are not yet covisible with the root, re-match them against the root
+        keyframe's image, align with motion-only BA, then add METRIC edges
+        for neighbors passing a coverage test."""
+        g = self.graph
+        if root_id not in g.vertices or root_id not in self.keyframe_snapshots:
+            return False
+        if self._last_tables is None:
+            return False
+        points_tab, poses_tab = self._last_tables
+
+        v_root = g.vertices[root_id]
+        direct = set(v_root.neighbor_strengths) | {root_id}
+        extended = g.frames_in_neighborhood(
+            root_id, len(g.double_window) + REG_EXTRA_FRAMES
+        )
+        cand_frames = [f for f in extended if f not in direct]
+        if not cand_frames:
+            return False
+
+        # candidate points: anchored at candidate frames, not already seen
+        # by the root (backend.cpp:472-546)
+        seen = set(v_root.feature_table)
+        cand_ids = []
+        for f in cand_frames:
+            for pid in g.vertices[f].feature_table:
+                p = g.points.get(pid)
+                if p is not None and p.anchor_id == f and pid not in seen:
+                    cand_ids.append(pid)
+        if len(cand_ids) < g.covis_thr:
+            return False
+        cand_ids = np.asarray(sorted(set(cand_ids))[:CAND_CAP], np.int64)
+
+        snap = self.keyframe_snapshots[root_id]
+        matched_ids, matched_obs, matched_levels, T_new = self._match_and_align(
+            snap, v_root.T, cand_ids, points_tab, poses_tab
+        )
+        if matched_ids is None or len(matched_ids) < g.covis_thr:
+            return False
+
+        # per-anchor strength + quadrant coverage filter (backend.cpp:614-722)
+        anchors = np.asarray([g.points[int(p)].anchor_id for p in matched_ids])
+        strengths = {}
+        w, h = self.cam.size
+        for f in set(anchors.tolist()):
+            sel = anchors == f
+            uv = matched_obs[sel][:, :2]
+            qx = (uv[:, 0] > w / 2).astype(int)
+            qy = (uv[:, 1] > h / 2).astype(int)
+            quads = np.unique(qy * 2 + qx)
+            if int(sel.sum()) >= g.covis_thr and len(quads) >= 2:
+                strengths[int(f)] = int(sel.sum())
+        if not strengths:
+            return False
+
+        tracked = [
+            (int(pid), matched_obs[i], int(matched_levels[i]))
+            for i, pid in enumerate(matched_ids)
+            if int(anchors[i]) in strengths
+        ]
+        g.register_keyframes(root_id, T_new, strengths, tracked)
+        if g.prepare_for_optimization(root_id):
+            g.optimize(num_iters=2, huber=3.0)
+        return True
+
+    # -- D: global loop closure -------------------------------------------- #
+    def global_loop_closure(self, loop: DetectedLoop) -> bool:
+        """Parity: Backend::globalLoopClosure (backend.cpp:829-1001): verify
+        the appearance loop by re-matching the loop keyframe's points in the
+        query frame at the proposed pose; on success insert an APPEARANCE
+        edge and optimize with the loop vertex teleported."""
+        g = self.graph
+        q, l = loop.query_id, loop.loop_id
+        if q not in g.vertices or l not in g.vertices:
+            return False
+        if g.find_edge(q, l) is not None:
+            return False  # already connected (backend.cpp:201-220)
+        # skip if the loop kf is INNER (no information gain)
+        if g.double_window.get(l) == INNER:
+            return False
+        if q not in self.keyframe_snapshots or self._last_tables is None:
+            return False
+        points_tab, poses_tab = self._last_tables
+
+        # candidate points anchored at/near the loop keyframe
+        cand_ids = [
+            pid for pid in g.vertices[l].feature_table
+            if pid in g.points and g.points[pid].anchor_id == l
+        ]
+        for nbr in g.vertices[l].neighbor_strengths:
+            for pid in g.vertices[nbr].feature_table:
+                if pid in g.points and g.points[pid].anchor_id == nbr:
+                    cand_ids.append(pid)
+        cand_ids = np.asarray(sorted(set(cand_ids))[:CAND_CAP], np.int64)
+        if len(cand_ids) < MIN_LOOP_MATCHES:
+            return False
+
+        # proposed query pose in the LOOP's metric frame:
+        # T_query_from_world' = T_query_from_loop * T_loop_from_world
+        T_q_proposed = loop.T_query_from_loop @ g.vertices[l].T
+        snap = self.keyframe_snapshots[q]
+        matched_ids, matched_obs, matched_levels, T_new = self._match_and_align(
+            snap, T_q_proposed, cand_ids, points_tab, poses_tab
+        )
+        if matched_ids is None or len(matched_ids) < MIN_LOOP_MATCHES:
+            return False
+        # quadrant coverage (backend.cpp:959-961)
+        w, h = self.cam.size
+        uv = matched_obs[:, :2]
+        quads = np.unique(
+            (uv[:, 1] > h / 2).astype(int) * 2 + (uv[:, 0] > w / 2).astype(int)
+        )
+        if len(quads) < 2:
+            return False
+
+        # teleport LOOP vertex into the query's metric frame:
+        # T_loop_from_world' = T_loop_from_query_new * T_query_from_world
+        T_loop_new = (
+            g.vertices[l].T @ T_q_proposed.inverse()
+        ) @ T_new
+        tracked = [
+            (int(pid), matched_obs[i], int(matched_levels[i]))
+            for i, pid in enumerate(matched_ids)
+        ]
+        # observations are added on the LOOP vertex in the reference
+        g.add_loop_closure(q, l, T_loop_new, tracked)
+        self.monitor.pushClosedLoop((q, l))
+        if g.prepare_for_optimization(q, loop_id=l):
+            g.optimize(num_iters=2, huber=3.0)
+        return True
+
+    # -- shared match+align ------------------------------------------------ #
+    def _match_and_align(self, snap, T_init: SE3, cand_ids, points_tab,
+                         poses_tab):
+        """2-pass guided match + motion-only BA against a stored keyframe
+        snapshot (parity: Backend::matchAndAlign, backend.cpp:725-784)."""
+        pyr = snap["pyr"]
+        disp = snap["disp"]
+        ids = np.full(CAND_CAP, -1, np.int64)
+        n = min(len(cand_ids), CAND_CAP)
+        ids[:n] = cand_ids[:n]
+        ids_j = jnp.asarray(ids)
+        xyz_w, R_aw, t_aw, patches, ok = materialize_points(
+            poses_tab, points_tab, ids_j
+        )
+        levels_arr = np.asarray(points_tab.level)[
+            np.clip(ids, 0, points_tab.level.shape[0] - 1)
+        ]
+        T_est = T_init
+        matched_all = None
+        for _pass in range(2):
+            obs_all = np.zeros((CAND_CAP, 3), np.float32)
+            matched_all = np.zeros(CAND_CAP, bool)
+            for lvl in range(self.levels):
+                buckets = corner_buckets(
+                    pyr[lvl],
+                    threshold=10.0 / 255.0,
+                    cells_y=max(self.cams[lvl].height // 8, 4),
+                    cells_x=max(self.cams[lvl].width // 8, 4),
+                    per_cell=4,
+                )
+                lvl_mask = jnp.asarray((levels_arr == lvl) & (ids >= 0))
+                res = _match_level(
+                    (self.cams[lvl].focal, self.cams[lvl].pp[0],
+                     self.cams[lvl].pp[1], self.cams[lvl].baseline),
+                    self.cams[lvl].size,
+                    pyr[lvl],
+                    T_est.R, T_est.t,
+                    xyz_w, R_aw, t_aw, patches,
+                    ok & lvl_mask,
+                    buckets["uv"], buckets["valid"],
+                    disp,
+                    lvl,
+                    0.18,
+                    # wide search radius on the first pass, tight on refine
+                    15.0 if _pass == 0 else 6.0,
+                )
+                m = np.asarray(res.matched)
+                obs_all[m] = np.asarray(res.obs_uvu)[m]
+                matched_all |= m
+            if matched_all.sum() < 10:
+                return None, None, None, None
+            weights = jnp.asarray(
+                (0.25 ** levels_arr) * matched_all.astype(np.float32)
+            )
+            ba = motion_only_ba_robust(
+                self.cam, T_est, xyz_w, jnp.asarray(obs_all), weights,
+                jnp.asarray(matched_all),
+                reject_thresh=float(self.cfg.ui.max_reproj_error) * 2.0,
+            )
+            T_est = ba.T
+            resid = np.asarray(ba.residuals)
+            gate = (
+                matched_all
+                & np.asarray(ba.inlier_mask)
+                & (np.abs(resid).max(axis=-1)
+                   < float(self.cfg.ui.max_reproj_error) * 2.0)
+            )
+            matched_all = gate
+        sel = np.flatnonzero(matched_all)
+        return ids[sel], obs_all[sel], levels_arr[sel], T_est

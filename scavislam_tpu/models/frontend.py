@@ -66,15 +66,27 @@ MIN_TRACK_OBS = 20  # tracking failure threshold (stereo_frontend.cpp:1053)
 @dataclass
 class AddToOptimizer:
     """Frontend -> backend keyframe packet
-    (parity: AddToOptimzer [sic], data_structures.h:153-171)."""
+    (parity: AddToOptimzer [sic], data_structures.h:153-171). Carries the
+    new points' full payload (psi/level/uvu) so the backend graph needs no
+    access to frontend internals, plus immutable snapshots of the device
+    tables and this keyframe's pyramid for local registration / loop
+    closure re-matching (the reference clones the frame, keyframes.h:48-88;
+    jax arrays are immutable so a reference IS a snapshot)."""
 
     kf_id: int
     T_kw: SE3
     new_point_ids: np.ndarray  # global ids of newly created points
+    new_psi: np.ndarray  # (m, 3) inverse-depth in this keyframe's frame
+    new_levels: np.ndarray  # (m,)
+    new_uvu: np.ndarray  # (m, 3) creation observation, level-0 uvu
     tracked_point_ids: np.ndarray  # ids of re-observed points
     tracked_obs: np.ndarray  # (n, 3) level-0 uvu
     tracked_levels: np.ndarray  # (n,)
     covis_strengths: dict  # kf_id -> shared-feature count
+    pyr: tuple = None  # this keyframe's image pyramid (device arrays)
+    disp: object = None  # level-0 disparity
+    points_snapshot: object = None  # PointTable at packet time
+    poses_snapshot: object = None  # PoseTable at packet time
 
 
 @dataclass
@@ -164,15 +176,20 @@ class StereoFrontend:
         self.poses = self.poses.set(kf_id, T_kw)
         self.actkey_id = kf_id
         self.T_cur_from_actkey = SE3.identity()
-        new_ids = self._spawn_points(kf_id, pre, disp, buckets, tracked_uv0=None)
+        new_ids, new_psi, new_lvl, new_uvu = self._spawn_points(
+            kf_id, pre, disp, buckets, tracked_uv0=None
+        )
         self.kf_point_ids[kf_id] = new_ids
         self.covis[kf_id] = {}
         self.keyframe_map[kf_id] = {
             "pyr": pre["pyr"], "disp": disp, "T_kw": T_kw,
         }
         pkt = AddToOptimizer(
-            kf_id, T_kw, new_ids, np.zeros(0, np.int64),
+            kf_id, T_kw, new_ids, new_psi, new_lvl, new_uvu,
+            np.zeros(0, np.int64),
             np.zeros((0, 3), np.float32), np.zeros(0, np.int64), {},
+            pyr=pre["pyr"], disp=disp,
+            points_snapshot=self.points, poses_snapshot=self.poses,
         )
         self.to_optimizer_stack.append(pkt)
         self._roll_dense_state(pre, disp, SE3.identity())
@@ -384,8 +401,7 @@ class StereoFrontend:
         respecting clearance from already-tracked observations
         (parity: addMorePoints, stereo_frontend.cpp:706-823)."""
         all_new = []
-        T_kw_R = self.poses.R[kf_id]
-        T_kw_t = self.poses.t[kf_id]
+        all_psi, all_lvl, all_uvu = [], [], []
         for l in range(self.levels):
             cap = NEW_PER_LEVEL[l]
             uv, score, valid = detect_corners_grid(
@@ -450,8 +466,22 @@ class StereoFrontend:
             )
             ids = np.arange(start, start + cap, dtype=np.int64)
             all_new.append(ids[ok_k])
+            all_psi.append(psi[ok_k])
+            all_lvl.append(np.full(int(ok_k.sum()), l, np.int64))
+            uvu0 = np.stack(
+                [uv0_k[:, 0], uv0_k[:, 1], uv0_k[:, 0] - d_k], axis=-1
+            )
+            all_uvu.append(uvu0[ok_k])
             self.next_point += cap
-        return np.concatenate(all_new) if all_new else np.zeros(0, np.int64)
+        if not all_new:
+            z = np.zeros(0, np.int64)
+            return z, np.zeros((0, 3)), z, np.zeros((0, 3))
+        return (
+            np.concatenate(all_new),
+            np.concatenate(all_psi),
+            np.concatenate(all_lvl),
+            np.concatenate(all_uvu),
+        )
 
     def _add_new_keyframe(self, pre, disp, buckets, T_cw: SE3):
         """Parity: addNewKeyframe (stereo_frontend.cpp:309-443)."""
@@ -470,7 +500,7 @@ class StereoFrontend:
         for a, c in strengths.items():
             self.covis.setdefault(a, {})[kf_id] = c
 
-        new_ids = self._spawn_points(
+        new_ids, new_psi, new_lvl, new_uvu = self._spawn_points(
             kf_id, pre, disp, buckets, tracked_uv0=self._tracked_obs[:, :2]
         )
         # the keyframe "owns" its new points plus the tracked ones
@@ -483,15 +513,41 @@ class StereoFrontend:
         pkt = AddToOptimizer(
             kf_id,
             T_cw,
-            new_ids,
+            new_ids, new_psi, new_lvl, new_uvu,
             self._tracked_ids.copy(),
             self._tracked_obs.copy(),
             self._tracked_levels.copy(),
             strengths,
+            pyr=pre["pyr"], disp=disp,
+            points_snapshot=self.points, poses_snapshot=self.poses,
         )
         self.to_optimizer_stack.append(pkt)
         self.actkey_id = kf_id
         self.T_cur_from_actkey = SE3.identity()
+
+    # ------------------------------------------------------------------ #
+    def apply_neighborhood(self, nb):
+        """Adopt a backend-optimized neighborhood: update device pose/point
+        tables and the candidate point list. Mirrors the reference's
+        neighborhood adoption in the main loop (stereo_slam.cpp:694-703),
+        which only adopts when the current actkey is included."""
+        if nb is None or self.actkey_id not in nb.get("kf_ids", []):
+            return False
+        import jax.numpy as jnp
+
+        for kf, (R, t) in nb.get("poses", {}).items():
+            self.poses = self.poses.set(
+                int(kf),
+                SE3(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)),
+            )
+        pids = nb.get("psi_ids")
+        if pids is not None and len(pids) > 0:
+            psi_new = jnp.asarray(nb["psi_vals"], jnp.float32)
+            self.points = self.points._replace(
+                psi=self.points.psi.at[jnp.asarray(pids)].set(psi_new)
+            )
+        self.neighborhood = nb
+        return True
 
     # ------------------------------------------------------------------ #
     def _roll_dense_state(self, pre, disp, T_cur_from_actkey: SE3):

@@ -1,0 +1,239 @@
+"""Appearance-based place recognition: bag-of-words + geometric verification.
+
+Re-implements the reference's PlaceRecognizer
+(/root/reference/scavislam/placerecognizer.{h,cpp}): per keyframe it detects
+keypoints that carry disparity, describes them, quantizes each descriptor to
+a visual word, scores candidate locations by TF-IDF over an inverted index
+excluding the covisible neighborhood (placerecognizer.cpp:130-172, 249-298),
+and confirms the best candidate (score > 2.0) with a 3-point RANSAC absolute
+orientation (>30 inliers -> DetectedLoop, placerecognizer.cpp:174-202).
+
+TPU-first differences:
+- descriptors: batched 128-D gradient histograms (ops.descriptors) instead of
+  nonfree SURF;
+- vocabulary: plain (K, 128) float matrix; quantization is ONE
+  descriptors @ vocab.T matmul + argmax (the reference walks a FLANN KMeans
+  tree per descriptor, placerecognizer.cpp:130-152);
+- vocabulary training: batched Lloyd's k-means on device
+  (apps/create_dictionary), vs the reference's offline FLANN hierarchical
+  clustering (create_dictionary.cpp:144-177);
+- RANSAC: vmapped hypothesis sweep (ops.ransac) instead of 100 sequential
+  iterations.
+
+The inverted index / TF-IDF bookkeeping stays on host (tiny scalar work).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.models.backend import DetectedLoop
+from scavislam_tpu.ops.descriptors import compute_descriptors, match_descriptors
+from scavislam_tpu.ops.fast import detect_corners_grid
+from scavislam_tpu.ops.image import nearest_sample, sobel_xy
+from scavislam_tpu.ops.ransac import ransac_se3, refine_se3_from_inliers
+from scavislam_tpu.pipeline.monitors import PlaceRecognizerMonitor
+
+SCORE_THR = 2.0  # placerecognizer.cpp best-score acceptance
+MIN_INLIERS = 30  # placerecognizer.cpp:197 (>30 inliers)
+MAX_KEYPOINTS = 256
+
+
+class Place:
+    """Stored location (parity: Place, placerecognizer.h)."""
+
+    def __init__(self, kf_id, words, desc, uvd, xyz, exclude):
+        self.kf_id = kf_id
+        self.words = words  # (N,) word ids
+        self.desc = desc  # (N, 128)
+        self.uvd = uvd  # (N, 3) u, v, disparity
+        self.xyz = xyz  # (N, 3) camera-frame points
+        self.exclude = exclude  # covisible kf ids at insertion time
+
+
+def default_vocabulary(k=1024, dim=128, seed=0) -> np.ndarray:
+    """Random unit vocabulary used when no trained dictionary is supplied
+    (random projections quantize fine for loop-closure retrieval; train a
+    real one with apps/create_dictionary for better recall). The reference
+    ships a 10k-word SURF vocabulary as a PNG (data/surfwords10000.png)."""
+    rng = np.random.RandomState(seed)
+    v = rng.randn(k, dim).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+    return v
+
+
+class PlaceRecognizer:
+    def __init__(self, cam: StereoCamera, vocabulary: np.ndarray = None,
+                 monitor: PlaceRecognizerMonitor = None,
+                 score_thr: float = SCORE_THR,
+                 min_inliers: int = MIN_INLIERS):
+        self.cam = cam
+        self.vocab = jnp.asarray(
+            vocabulary if vocabulary is not None else default_vocabulary()
+        )
+        self.monitor = monitor or PlaceRecognizerMonitor()
+        self.score_thr = score_thr
+        self.min_inliers = min_inliers
+        self.location_map: dict[int, Place] = {}
+        self.inverted_index: dict[int, dict[int, int]] = defaultdict(dict)
+        self.word_doc_count: dict[int, int] = defaultdict(int)
+        self._key = jax.random.PRNGKey(42)
+
+    # ------------------------------------------------------------------ #
+    def describe(self, img: jnp.ndarray, disp: jnp.ndarray):
+        """Detect + describe keypoints that carry disparity
+        (parity: placerecognizer.cpp:222-246)."""
+        uv, score, valid = detect_corners_grid(
+            img, threshold=8.0 / 255.0, cells_y=8, cells_x=8,
+            per_cell=MAX_KEYPOINTS // 64,
+        )
+        d, dok = nearest_sample(disp, uv)
+        valid = valid & dok & (d > 0.5)
+        dx, dy = sobel_xy(img)
+        desc, desc_ok = compute_descriptors(dx, dy, uv)
+        valid = valid & desc_ok
+        xyz = self.cam.uv_disp_to_xyz(uv[:, 0], uv[:, 1], jnp.maximum(d, 0.5))
+        words = jnp.argmax(
+            jnp.einsum("nd,kd->nk", desc, self.vocab,
+                       preferred_element_type=jnp.float32),
+            axis=1,
+        )
+        uvd = jnp.stack([uv[:, 0], uv[:, 1], d], axis=-1)
+        return (
+            np.asarray(words), np.asarray(desc), np.asarray(uvd),
+            np.asarray(xyz), np.asarray(valid),
+        )
+
+    # ------------------------------------------------------------------ #
+    def step(self) -> bool:
+        """One poll of the PR thread loop (placerecognizer.cpp:114-128)."""
+        data = self.monitor.getKeyframeDate()
+        if data is None:
+            return False
+        self.add_location(data)
+        return True
+
+    def run(self, stop_event):
+        import time
+
+        while not stop_event.is_set():
+            if not self.step():
+                time.sleep(0.001)
+
+    def add_location(self, data: dict):
+        """Parity: addLocation (placerecognizer.cpp:206-324)."""
+        kf_id = data["kf_id"]
+        words, desc, uvd, xyz, valid = self.describe(data["img"], data["disp"])
+        words = words[valid]
+        desc = desc[valid]
+        uvd = uvd[valid]
+        xyz = xyz[valid]
+        exclude = set(data.get("exclude", set())) | {kf_id}
+
+        # TF-IDF scoring against existing locations (calcLoopStatistics)
+        scores = self._score(words, exclude)
+        place = Place(kf_id, words, desc, uvd, xyz, exclude)
+        self.location_map[kf_id] = place
+        for w, c in zip(*np.unique(words, return_counts=True)):
+            self.inverted_index[int(w)][kf_id] = int(c)
+            self.word_doc_count[int(w)] += 1
+
+        if not scores:
+            return None
+        best_id, best_score = max(scores.items(), key=lambda kv: kv[1])
+        if best_score <= self.score_thr:
+            return None
+        loop = self._geometric_check(place, self.location_map[best_id])
+        if loop is not None:
+            self.monitor.addLoop(loop)
+        return loop
+
+    def _score(self, words: np.ndarray, exclude: set) -> dict:
+        """TF-IDF accumulation over the inverted index, excluding the covis
+        neighborhood (placerecognizer.cpp:249-298)."""
+        n_docs = max(len(self.location_map), 1)
+        scores: dict[int, float] = defaultdict(float)
+        uw, counts = np.unique(words, return_counts=True)
+        for w, c in zip(uw, counts):
+            postings = self.inverted_index.get(int(w))
+            if not postings:
+                continue
+            idf = np.log(n_docs / max(len(postings), 1)) + 1.0
+            for kf, kc in postings.items():
+                if kf in exclude:
+                    continue
+                scores[kf] += float(c) * float(kc) * idf * idf / len(words)
+        return dict(scores)
+
+    def _geometric_check(self, query: Place, cand: Place):
+        """BF match + vmapped 3-point RANSAC (placerecognizer.cpp:174-202).
+        Returns DetectedLoop with T_query_from_loop or None."""
+        if len(query.words) < 3 or len(cand.words) < 3:
+            return None
+        idx_b, ok = match_descriptors(
+            jnp.asarray(query.desc), jnp.asarray(cand.desc)
+        )
+        idx_b = np.asarray(idx_b)
+        ok = np.asarray(ok)
+        if ok.sum() < 3:
+            return None
+        # correspondences: loop(cand) points -> query points
+        n = len(query.words)
+        xyz_a = np.zeros((n, 3), np.float32)  # cand/loop frame
+        xyz_b = query.xyz.astype(np.float32)  # query frame
+        xyz_a[ok] = cand.xyz[idx_b[ok]]
+        self._key, sub = jax.random.split(self._key)
+        cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
+                      self.cam.baseline)
+        R, t, inliers, n_in = ransac_se3(
+            sub,
+            jnp.asarray(xyz_a),
+            jnp.asarray(xyz_b),
+            jnp.asarray(ok),
+            cam_params,
+            inlier_thr=3.0,
+            num_hypotheses=256,
+        )
+        if int(n_in) <= self.min_inliers:
+            return None
+        T = refine_se3_from_inliers(
+            jnp.asarray(xyz_a), jnp.asarray(xyz_b), inliers
+        )
+        return DetectedLoop(query.kf_id, cand.kf_id, T)
+
+
+# -- vocabulary training (device k-means) ----------------------------------- #
+
+def train_vocabulary(descriptors: np.ndarray, k: int = 1024,
+                     iters: int = 20, seed: int = 0) -> np.ndarray:
+    """Batched Lloyd's k-means on device: assignment is one matmul per
+    iteration (the reference uses FLANN hierarchical k-means offline,
+    create_dictionary.cpp:144-177)."""
+    d = jnp.asarray(descriptors, jnp.float32)
+    n = d.shape[0]
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (k,), replace=n < k)
+    centers = d[init_idx]
+
+    @jax.jit
+    def step(centers):
+        sim = jnp.einsum("nd,kd->nk", d, centers,
+                         preferred_element_type=jnp.float32)
+        assign = jnp.argmax(sim, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        sums = jnp.einsum("nk,nd->kd", one_hot, d,
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(one_hot, axis=0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
+        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+        return new / jnp.maximum(norm, 1e-9)
+
+    for _ in range(iters):
+        centers = step(centers)
+    return np.asarray(centers)

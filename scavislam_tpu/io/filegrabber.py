@@ -1,0 +1,211 @@
+"""Disk-sequence frame grabber with native prefetch.
+
+Re-implements the reference's FileGrabber + FrameGrabber file path
+(/root/reference/scavislam/filegrabber.{h,cpp}, frame_grabber.cpp:123-186):
+recursive regex scan for `<base>left.<fmt>` images, background-thread
+prefetch into a bounded 50-frame buffer, strict frame-id ordering, pairing of
+left/right/disparity/depth images, disparity float32 reinterpretation (the
+reference stores float disparity maps as 4-channel byte PNGs,
+frame_grabber.cpp:153-162), and depth->disparity conversion.
+
+The hot path (scan + PNM decode + prefetch) runs in native C++
+(native/grabber.cpp via ctypes); PNG/JPEG fall back to PIL inside a Python
+prefetch thread with identical queue semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import re
+import threading
+
+import numpy as np
+
+_LIB = None
+
+
+def _native():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "build",
+                        "libsvtgrabber.so")
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        # try building it
+        mk = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+        os.system(f"make -C {mk} >/dev/null 2>&1")
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        lib.svt_scan.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.svt_scan.restype = ctypes.c_int
+        lib.svt_scan_get.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                     ctypes.c_int]
+        lib.svt_scan_get.restype = ctypes.c_int
+        lib.svt_load_pnm.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.svt_load_pnm.restype = ctypes.c_int
+        _LIB = lib
+    else:
+        _LIB = False
+    return _LIB
+
+
+def scan_dataset(path: str, base_pattern: str = ".*") -> list[str]:
+    """Recursive regex scan, sorted (parity: filegrabber.cpp:135-162)."""
+    lib = _native()
+    if lib:
+        n = lib.svt_scan(path.encode(), base_pattern.encode())
+        if n >= 0:
+            out = []
+            buf = ctypes.create_string_buffer(4096)
+            for i in range(n):
+                if lib.svt_scan_get(i, buf, 4096) >= 0:
+                    out.append(buf.value.decode())
+            return out
+    # python fallback
+    rx = re.compile(base_pattern)
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if rx.search(f):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode one image to a numpy array (uint8, HxW or HxWx3)."""
+    lib = _native()
+    if lib and path.lower().endswith((".pnm", ".pgm", ".ppm")):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = ctypes.c_int()
+        if lib.svt_load_pnm(path.encode(), None, 0,
+                            ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(c)) == 0:
+            n = w.value * h.value * c.value
+            buf = np.empty(n, np.uint8)
+            if lib.svt_load_pnm(
+                path.encode(),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n, ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+            ) == 0:
+                img = buf.reshape(h.value, w.value, c.value)
+                return img[..., 0] if c.value == 1 else img
+    from PIL import Image
+
+    img = np.asarray(Image.open(path))
+    return img
+
+
+def to_gray_f32(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        img = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+    return np.asarray(img, np.float32) / 255.0
+
+
+def disparity_from_png_bytes(img: np.ndarray) -> np.ndarray:
+    """The reference stores float disparity as 4-byte-per-pixel PNG
+    (frame_grabber.cpp:153-162, dump_rgbd.cpp:200-218): reinterpret."""
+    assert img.ndim == 3 and img.shape[2] == 4
+    return img.astype(np.uint8).view(np.float32).reshape(img.shape[:2])
+
+
+def depth_to_disp(depth: np.ndarray, focal: float, baseline: float):
+    """frame_grabber-impl.cpp:136-152 semantics with the consistent formula
+    (see core.camera docstring)."""
+    d = np.where(depth > 1e-6, focal * baseline / np.maximum(depth, 1e-6), -1.0)
+    return d.astype(np.float32)
+
+
+class FileGrabber:
+    """Background prefetching frame source with FileGrabberMonitor ordering
+    semantics: frames come out strictly in index order; buffer bounded at 50
+    (filegrabber.cpp:29-61)."""
+
+    def __init__(self, path: str, base_pattern: str = ".*",
+                 fmt: str = "png", right_img: bool = True,
+                 disp_img: bool = False, depth_img: bool = False,
+                 skip: int = 0, max_buffer: int = 50,
+                 focal: float = None, baseline: float = None):
+        # the reference scans for "<base>left.<fmt>" and derives the others
+        left_pat = f"{base_pattern}left.*\\.{fmt}$"
+        self.left_files = scan_dataset(path, left_pat)[skip:]
+        self.right_img = right_img
+        self.disp_img = disp_img
+        self.depth_img = depth_img
+        self.focal = focal
+        self.baseline = baseline
+        self._q: queue.Queue = queue.Queue(maxsize=max_buffer)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+        self._next_expected = 0
+
+    def __len__(self):
+        return len(self.left_files)
+
+    def _derive(self, left_path, kind, ext=None):
+        base = left_path
+        for suffix in ("left",):
+            if suffix in base:
+                return base.replace(suffix, kind)
+        root, e = os.path.splitext(left_path)
+        return root + "_" + kind + (ext or e)
+
+    def _producer(self):
+        for i, lp in enumerate(self.left_files):
+            if self._stop.is_set():
+                return
+            bundle = {"frame_id": i}
+            try:
+                bundle["left_u8"] = load_image(lp)
+                if self.right_img:
+                    bundle["right_u8"] = load_image(self._derive(lp, "right"))
+                if self.disp_img:
+                    raw = load_image(self._derive(lp, "disp"))
+                    bundle["disp"] = disparity_from_png_bytes(raw)
+                if self.depth_img:
+                    raw = load_image(self._derive(lp, "depth"))
+                    d = disparity_from_png_bytes(raw)
+                    bundle["disp"] = depth_to_disp(
+                        d, self.focal, self.baseline
+                    )
+            except Exception as e:  # noqa: BLE001
+                bundle["error"] = str(e)
+            self._q.put(bundle)
+        self._q.put(None)
+
+    def next_frame(self):
+        """Blocking; returns dict with float [0,1] 'left'/'right' (+optional
+        'disp') or None at end of sequence. Asserts strict ordering
+        (filegrabber.cpp:39)."""
+        b = self._q.get()
+        if b is None:
+            return None
+        assert b["frame_id"] == self._next_expected, "frame order violated"
+        self._next_expected += 1
+        if "error" in b:
+            raise IOError(b["error"])
+        out = {"frame_id": b["frame_id"],
+               "left": to_gray_f32(b["left_u8"])}
+        if "right_u8" in b:
+            out["right"] = to_gray_f32(b["right_u8"])
+        if "disp" in b:
+            out["disp"] = b["disp"]
+        return out
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,169 @@
+"""Complete SLAM system: frontend + backend + place recognition pipeline.
+
+Mirrors the reference's process topology (/root/reference/scavislam/
+stereo_slam.cpp:164-216, 681-747): a main thread runs the frontend at camera
+rate; a backend thread maintains the DWO graph; a place-recognizer thread
+detects appearance loops. All cross-thread traffic uses the monitor mailboxes
+of pipeline.monitors with the reference's exact channel semantics.
+
+Two execution modes:
+- threaded=True : real threads, like the reference (backend.cpp:157,
+  placerecognizer.cpp:114, spawned at stereo_slam.cpp:195-196);
+- threaded=False: synchronous stepping (deterministic; used by tests/bench).
+
+Per-frame main loop (parity: stereo_slam.cpp:681-747):
+  1. grab + process frame through the frontend;
+  2. queryNeighborhood(actkey) to the backend;
+  3. adopt the backend's neighborhood answer if it contains the actkey;
+  4. on keyframe drop: push the AddToOptimizer packet;
+  5. collect closed-loop notifications (highlighting only).
+
+Unlike the reference — which prints FAILURE and exits on tracking loss
+(stereo_slam.cpp:706-710) — tracking failure is surfaced to the caller.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.models.backend import Backend
+from scavislam_tpu.models.frontend import StereoFrontend
+from scavislam_tpu.models.placerec import PlaceRecognizer
+from scavislam_tpu.pipeline.monitors import (
+    BackendMonitor,
+    PlaceRecognizerMonitor,
+)
+from scavislam_tpu.utils.config import Config
+from scavislam_tpu.utils.perfmon import PerformanceMonitor
+
+# the reference's 11 named stages (stereo_slam.cpp:174-184)
+STAGES = (
+    "drawing", "back end", "grab frame", "preprocess", "stereo",
+    "dense tracking", "fast", "match", "process points", "drop keyframe",
+    "dense point cloud",
+)
+
+
+class SlamSystem:
+    def __init__(self, cam: StereoCamera, cfg: Config = None,
+                 threaded: bool = False, enable_loop_closure: bool = True,
+                 vocabulary=None):
+        self.cfg = cfg or Config()
+        self.cam = cam
+        self.per_mon = PerformanceMonitor()
+        for s in STAGES:
+            self.per_mon.add(s)
+
+        self.backend_monitor = BackendMonitor()
+        self.place_monitor = (
+            PlaceRecognizerMonitor() if enable_loop_closure else None
+        )
+        self.frontend = StereoFrontend(cam, self.cfg)
+        self.backend = Backend(cam, self.cfg, self.backend_monitor,
+                               self.place_monitor)
+        self.place_recognizer = (
+            PlaceRecognizer(cam, vocabulary, self.place_monitor)
+            if enable_loop_closure else None
+        )
+        self.threaded = threaded
+        self._stop = threading.Event()
+        self._threads = []
+        self.trajectory = []  # (frame_id, SE3 T_cw estimate)
+        self.closed_loops = []
+        self.tracking_ok = True
+
+        if threaded:
+            t_be = threading.Thread(
+                target=self.backend.run, args=(self._stop,), daemon=True
+            )
+            t_be.start()
+            self._threads.append(t_be)
+            if self.place_recognizer is not None:
+                t_pr = threading.Thread(
+                    target=self.place_recognizer.run, args=(self._stop,),
+                    daemon=True,
+                )
+                t_pr.start()
+                self._threads.append(t_pr)
+
+    # ------------------------------------------------------------------ #
+    def process_first_frame(self, frame: dict):
+        pkt = self.frontend.process_first_frame(frame)
+        self.backend_monitor.pushKeyframe(pkt)
+        if not self.threaded:
+            self._drain_workers()
+        self.trajectory.append(
+            (frame.get("frame_id", 0), self.frontend._world_pose())
+        )
+
+    def process_frame(self, frame: dict) -> bool:
+        """One main-loop iteration. Returns False on tracking failure."""
+        pm = self.per_mon
+        pm.new_frame()
+
+        # neighborhood adoption (stereo_slam.cpp:694-703)
+        nb = self.backend_monitor.getNeighborhood()
+        if nb is not None:
+            self.frontend.apply_neighborhood(nb)
+
+        success, dropped = self.frontend.process_frame(frame)
+        if not success:
+            self.tracking_ok = False
+            return False
+
+        self.backend_monitor.queryNeighborhood(self.frontend.actkey_id)
+        if dropped:
+            self.backend_monitor.pushKeyframe(
+                self.frontend.to_optimizer_stack[-1]
+            )
+
+        loop = self.backend_monitor.getClosedLoop()
+        if loop is not None:
+            self.closed_loops.append(loop)
+
+        if not self.threaded:
+            self._drain_workers()
+
+        self.trajectory.append(
+            (frame.get("frame_id", len(self.trajectory)),
+             self.frontend._world_pose())
+        )
+        return True
+
+    def _drain_workers(self):
+        while self.backend.step():
+            pass
+        if self.place_recognizer is not None:
+            while self.place_recognizer.step():
+                pass
+            # loops found by PR need one more backend pass
+            while self.backend.step():
+                pass
+
+    # ------------------------------------------------------------------ #
+    def shutdown(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=5.0)
+
+    def export_trajectory(self) -> np.ndarray:
+        """(N, 8): frame_id, tx, ty, tz, qw... — actually stores the 6-dof
+        log for compactness: frame_id + translation + rotation-log."""
+        rows = []
+        for fid, T in self.trajectory:
+            xi = np.asarray(T.log())
+            rows.append(np.concatenate([[fid], np.asarray(T.t), xi[3:]]))
+        return np.asarray(rows)
+
+
+def ate_rmse(trajectory, gt_poses) -> float:
+    """Absolute trajectory error (translation RMSE), no alignment: both
+    trajectories share the first-frame gauge."""
+    errs = []
+    for (fid, T_est), T_gt in zip(trajectory, gt_poses):
+        errs.append(np.asarray((T_est @ T_gt.inverse()).t))
+    errs = np.stack(errs)
+    return float(np.sqrt((errs**2).sum(axis=1).mean()))

@@ -1,0 +1,97 @@
+"""IO: native PNM decode, dataset scan, prefetching grabber, config parsing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scavislam_tpu.io.filegrabber import (
+    FileGrabber,
+    depth_to_disp,
+    disparity_from_png_bytes,
+    load_image,
+    scan_dataset,
+)
+from scavislam_tpu.utils.config import Config, load_config
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    """Write a small PNM stereo dataset."""
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        for side in ("left", "right"):
+            img = rng.randint(0, 255, (48, 64), np.uint8)
+            p = tmp_path / f"img_{i:06d}_{side}.pgm"
+            with open(p, "wb") as f:
+                f.write(b"P5\n64 48\n255\n")
+                f.write(img.tobytes())
+    return tmp_path
+
+
+class TestNativeIO:
+    def test_scan(self, dataset):
+        files = scan_dataset(str(dataset), r"img_.*left.*\.pgm$")
+        assert len(files) == 5
+        assert files == sorted(files)
+
+    def test_pnm_decode(self, dataset):
+        files = scan_dataset(str(dataset), r"img_.*left.*\.pgm$")
+        img = load_image(files[0])
+        assert img.shape == (48, 64)
+        assert img.dtype == np.uint8
+
+    def test_grabber_order_and_pairing(self, dataset):
+        g = FileGrabber(str(dataset), base_pattern="img_.*", fmt="pgm",
+                        right_img=True)
+        assert len(g) == 5
+        for i in range(5):
+            f = g.next_frame()
+            assert f["frame_id"] == i
+            assert f["left"].shape == (48, 64)
+            assert f["right"].shape == (48, 64)
+            assert 0.0 <= f["left"].min() and f["left"].max() <= 1.0
+        assert g.next_frame() is None
+        g.close()
+
+    def test_disparity_reinterpret_roundtrip(self):
+        d = np.random.RandomState(1).rand(8, 10).astype(np.float32) * 60
+        raw = d.view(np.uint8).reshape(8, 10, 4)
+        back = disparity_from_png_bytes(raw)
+        np.testing.assert_array_equal(back, d)
+
+    def test_depth_to_disp(self):
+        z = np.array([[2.0, 4.0], [0.0, 8.0]], np.float32)
+        d = depth_to_disp(z, focal=100.0, baseline=0.5)
+        np.testing.assert_allclose(d[0], [25.0, 12.5])
+        assert d[1, 0] < 0  # invalid depth -> invalid disparity
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = Config()
+        assert cfg.graph.inner_window == 15
+        assert cfg.use_n_levels_in_frontent == 3
+
+    def test_load_reference_newcollege(self):
+        cfg = load_config("/root/reference/data/newcollege.cfg")
+        assert cfg.cam.width == 512 and cfg.cam.height == 384
+        assert abs(cfg.cam.f - 389.956085) < 1e-5
+        assert abs(cfg.cam.baseline - 0.120005) < 1e-7
+        assert cfg.graph.inner_window == 30
+        assert cfg.graph.outer_window == 200
+        assert cfg.frontend.covis_thr == 25
+        assert cfg.frontend.new_keyframe_pixel_thr == 70
+        assert abs(cfg.ui.parallax_thr - 0.75) < 1e-7  # ui_parallax_thr sic
+        assert cfg.framepipe.format_str == "pnm"
+        assert cfg.framepipe.base_str == ".*rectified.*"
+
+    def test_load_reference_rgbd(self):
+        cfg = load_config("/root/reference/data/rgbd_example.cfg")
+        assert cfg.cam.width == 640
+        assert abs(cfg.cam.baseline - 0.07468) < 1e-7
+        assert cfg.graph.inner_window == 7
+        assert cfg.framepipe.disp_img is True
+        assert cfg.framepipe.right_img is False
+        assert abs(cfg.ui.parallax_thr - 0.15) < 1e-7
+        assert abs(cfg.ui.max_reproj_error - 3.0) < 1e-7

@@ -1,0 +1,67 @@
+"""Offline bag-of-words vocabulary builder.
+
+Equivalent of the reference's create_dictionary executable
+(/root/reference/scavislam/create_dictionary.cpp): scan an image directory,
+detect+describe keypoints per image with an adaptive budget
+(create_dictionary.cpp:78-128 retries SURF thresholds to land in [500, 2000]
+keypoints; our per-cell top-k detector hits its budget deterministically in
+one pass), stack all descriptors, and cluster into N visual words — here with
+batched Lloyd's k-means ON DEVICE (one matmul per iteration) instead of FLANN
+hierarchical k-means. Saves a .npz (the reference serialized float words as a
+PNG byte image, create_dictionary.cpp:166-177).
+
+Usage: python -m scavislam_tpu.apps.create_dictionary <img_dir> [N] [words]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from scavislam_tpu.io.filegrabber import load_image, scan_dataset, to_gray_f32
+from scavislam_tpu.models.placerec import train_vocabulary
+from scavislam_tpu.ops.descriptors import compute_descriptors
+from scavislam_tpu.ops.fast import detect_corners_grid
+from scavislam_tpu.ops.image import sobel_xy
+
+
+def descriptors_for_image(img_f32, budget=1024):
+    uv, score, valid = detect_corners_grid(
+        jnp.asarray(img_f32), threshold=6.0 / 255.0,
+        cells_y=8, cells_x=8, per_cell=max(budget // 64, 1),
+    )
+    dx, dy = sobel_xy(jnp.asarray(img_f32))
+    desc, ok = compute_descriptors(dx, dy, uv)
+    keep = np.asarray(valid & ok)
+    return np.asarray(desc)[keep]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("img_dir")
+    ap.add_argument("max_images", nargs="?", type=int, default=100)
+    ap.add_argument("num_words", nargs="?", type=int, default=1024)
+    ap.add_argument("--pattern", default=r".*\.(png|pnm|pgm|jpg)$")
+    ap.add_argument("--out", default="dictionary.npz")
+    args = ap.parse_args(argv)
+
+    files = scan_dataset(args.img_dir, args.pattern)[: args.max_images]
+    if not files:
+        raise SystemExit(f"no images matching {args.pattern} in {args.img_dir}")
+    all_desc = []
+    for f in files:
+        img = to_gray_f32(load_image(f))
+        d = descriptors_for_image(img)
+        all_desc.append(d)
+        print(f"{f}: {len(d)} descriptors")
+    desc = np.concatenate(all_desc)
+    print(f"clustering {len(desc)} descriptors into {args.num_words} words...")
+    vocab = train_vocabulary(desc, k=args.num_words, iters=25)
+    np.savez_compressed(args.out, vocab=vocab)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Headless stereo/RGB-D SLAM CLI.
+
+Equivalent of the reference's stereo_slam executable
+(/root/reference/scavislam/stereo_slam.cpp) minus the Pangolin GUI: runs the
+full pipeline (frontend + DWO backend + place recognition) over a disk
+sequence or a synthetic benchmark sequence, exports the trajectory, and
+prints per-stage timing (the reference plotted these live,
+stereo_slam.cpp:155-160).
+
+Usage:
+  python -m scavislam_tpu.apps.stereo_slam <config.cfg> [options]
+  python -m scavislam_tpu.apps.stereo_slam --synthetic 100 [options]
+
+The config file format is the reference's (data/newcollege.cfg parses
+unmodified).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.utils.config import Config, load_config
+
+
+def build_camera(cfg: Config) -> StereoCamera:
+    return StereoCamera.create(
+        cfg.cam.f, (cfg.cam.px, cfg.cam.py),
+        (cfg.cam.width, cfg.cam.height), cfg.cam.baseline,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", nargs="?", help="reference-format .cfg file")
+    ap.add_argument("--dataset", help="override framepipe.path_str")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--synthetic-step", type=float, default=0.02)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--out", default="trajectory.txt")
+    ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--threaded", action="store_true",
+                    help="run backend/PR in real threads (reference topology)")
+    ap.add_argument("--vocabulary", help=".npz vocabulary from create_dictionary")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else Config()
+    cam = build_camera(cfg)
+
+    vocab = None
+    if args.vocabulary:
+        vocab = np.load(args.vocabulary)["vocab"]
+
+    from scavislam_tpu.pipeline.slam_system import SlamSystem, ate_rmse
+
+    system = SlamSystem(
+        cam, cfg, threaded=args.threaded,
+        enable_loop_closure=not args.no_loop_closure,
+        vocabulary=vocab,
+    )
+
+    gt_poses = []
+    if args.synthetic:
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+
+        seq = SyntheticSequence(cam, n_frames=args.synthetic,
+                                step=args.synthetic_step)
+        frames = iter(seq)
+    else:
+        from scavislam_tpu.io.filegrabber import FileGrabber
+
+        path = args.dataset or cfg.framepipe.path_str
+        grabber = FileGrabber(
+            path,
+            base_pattern=cfg.framepipe.base_str,
+            fmt=cfg.framepipe.format_str,
+            right_img=cfg.framepipe.right_img,
+            disp_img=cfg.framepipe.disp_img,
+            depth_img=cfg.framepipe.depth_img,
+            skip=cfg.framepipe.skip_imgs,
+            focal=cfg.cam.f,
+            baseline=cfg.cam.baseline,
+        )
+
+        def gen():
+            while True:
+                f = grabber.next_frame()
+                if f is None:
+                    return
+                yield f
+
+        frames = gen()
+
+    n = 0
+    for frame in frames:
+        if args.max_frames and n >= args.max_frames:
+            break
+        if "T_cw_gt" in frame:
+            gt_poses.append(frame["T_cw_gt"])
+        if n == 0:
+            system.process_first_frame(frame)
+        else:
+            ok = system.process_frame(frame)
+            if not ok:
+                print("FAILURE! tracking lost at frame", n, file=sys.stderr)
+                break
+        n += 1
+
+    system.shutdown()
+    traj = system.export_trajectory()
+    np.savetxt(args.out, traj)
+
+    summary = system.per_mon.summary()
+    summary["frames_processed"] = n
+    summary["keyframes"] = len(system.frontend.keyframe_map)
+    summary["map_points"] = int(np.asarray(system.frontend.points.valid).sum())
+    summary["closed_loops"] = len(system.closed_loops)
+    if gt_poses:
+        summary["ate_rmse_m"] = ate_rmse(system.trajectory, gt_poses)
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Multi-stream SLAM over a device mesh: data-parallel streams + sharded BA.
+
+The reference is a single-node, single-sequence pipeline (SURVEY.md §2: no
+DP/TP/PP — 4 CPU threads). Scaling on TPU means: N independent camera streams
+batched per chip (BASELINE.json config 5: 8 vmapped New College streams) and
+sharded ACROSS chips over ICI with `jax.sharding` — there is no reference
+semantics to preserve here, so the layout is chosen for the hardware:
+
+- mesh axes ("dp", "sp"):
+  * dp — streams (pure data parallel, zero cross-talk);
+  * sp — the observation axis INSIDE each stream's bundle-adjustment
+    reduction: each shard computes partial normal equations (J^T W J, J^T W r)
+    over its observation slice and a `psum` over "sp" assembles the full 6x6
+    system — the classic reduce-over-sequence-parallel pattern, riding ICI.
+
+The per-stream step here is the motion-only tracking core (projection,
+residuals, robust weights, normal equations, on-device solve, SE3 update) —
+the numerically heavy inner loop of the frontend. vmapped over local streams,
+shard_mapped over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scavislam_tpu.core.lie import SE3, hat
+
+
+def make_mesh(n_devices: int = None, dp: int = None):
+    """Build a ("dp", "sp") mesh over the available devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None:
+        # prefer splitting streams; keep sp = 2 when possible
+        dp = n if n % 2 else n // 2
+        sp = 1 if n % 2 else 2
+    else:
+        sp = n // dp
+    mesh_devs = np.array(devs).reshape(dp, sp)
+    return Mesh(mesh_devs, ("dp", "sp"))
+
+
+def _tracking_core(cam_params, R, t, xyz_w, obs_uvu, weights, valid, iters):
+    """GN/LM motion-only tracking with the obs axis SHARDED: the normal
+    equations are psum-reduced over the "sp" mesh axis each iteration."""
+    focal, ppx, ppy, baseline = cam_params
+
+    def normal_eq(R, t):
+        y = jnp.einsum("ij,nj->ni", R, xyz_w) + t
+        z = jnp.where(jnp.abs(y[:, 2]) < 1e-6, 1e-6, y[:, 2])
+        u = y[:, 0] / z * focal + ppx
+        v = y[:, 1] / z * focal + ppy
+        ur = (y[:, 0] - baseline) / z * focal + ppx
+        pred = jnp.stack([u, v, ur], axis=-1)
+        r = obs_uvu - pred
+        mask = valid & (y[:, 2] > 0.1) & jnp.all(jnp.isfinite(r), axis=-1)
+        r = jnp.where(mask[:, None], r, 0.0)
+        s = jnp.sum(r * r, axis=-1)
+        w = weights * mask / jnp.sqrt(1.0 + s)
+        z2 = z * z
+        zero = jnp.zeros_like(z)
+        j0 = jnp.stack([focal / z, zero, -focal * y[:, 0] / z2], -1)
+        j1 = jnp.stack([zero, focal / z, -focal * y[:, 1] / z2], -1)
+        j2 = jnp.stack(
+            [focal / z, zero, -focal * (y[:, 0] - baseline) / z2], -1)
+        Jp = jnp.stack([j0, j1, j2], axis=-2)  # (N, 3, 3)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), (*z.shape, 3, 3))
+        Jx = jnp.concatenate([eye, -hat(y)], axis=-1)
+        J = Jp @ Jx  # (N, 3, 6)
+        Jw = J * w[:, None, None]
+        H_part = jnp.einsum("nij,nik->jk", Jw, J)
+        b_part = jnp.einsum("nij,ni->j", Jw, r)
+        chi_part = jnp.sum(w * s)
+        # the ICI collective: assemble the full system across "sp" shards
+        H = jax.lax.psum(H_part, "sp")
+        b = jax.lax.psum(b_part, "sp")
+        chi = jax.lax.psum(chi_part, "sp")
+        return H, b, chi
+
+    def body(carry, _):
+        R, t = carry
+        H, b, chi = normal_eq(R, t)
+        Hd = H + 1e-2 * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+        x = jax.scipy.linalg.solve(Hd, b, assume_a="pos")
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        T = SE3.exp(x) @ SE3(R, t)
+        return (T.R, T.t), chi
+
+    (R, t), chis = jax.lax.scan(body, (R, t), None, length=iters)
+    return R, t, chis[-1]
+
+
+def build_multistream_step(mesh: Mesh, cam_params, iters: int = 5):
+    """Return a jitted step over sharded stream batches.
+
+    Inputs (global shapes):
+      R (B, 3, 3), t (B, 3)           sharded ("dp", None, None)
+      xyz_w (B, N, 3)                 sharded ("dp", "sp", None)
+      obs_uvu (B, N, 3), weights/valid (B, N)  likewise.
+    Returns updated (R, t) sharded over "dp" plus per-stream chi2.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def per_stream(R, t, xyz, obs, w, v):
+        return _tracking_core(cam_params, R, t, xyz, obs, w, v, iters)
+
+    def local_step(R, t, xyz, obs, w, v):
+        # vmap over the local stream sub-batch; the "sp" axis stays inside
+        # _tracking_core's psum.
+        return jax.vmap(per_stream)(R, t, xyz, obs, w, v)
+
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None, None), P("dp", None),
+            P("dp", "sp", None), P("dp", "sp", None),
+            P("dp", "sp"), P("dp", "sp"),
+        ),
+        out_specs=(P("dp", None, None), P("dp", None), P("dp")),
+    )
+    return jax.jit(step)
+
+
+def shard_stream_batch(mesh: Mesh, arrays_specs):
+    """Device-put arrays with the given PartitionSpecs."""
+    out = []
+    for arr, spec in arrays_specs:
+        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+    return out

@@ -1,0 +1,73 @@
+"""Multi-stream sharded tracking over the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.parallel.multistream import build_multistream_step, make_mesh
+
+CAM = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+CAM_PARAMS = (195.0, 127.0, 95.0, 0.12)
+
+
+def make_problem(B=8, N=256, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+    xyz = jnp.stack(
+        [jax.random.normal(ks[0], (B, N)) * 1.5,
+         jax.random.normal(ks[1], (B, N)) * 1.0,
+         jax.random.uniform(ks[2], (B, N)) * 5 + 3],
+        axis=-1,
+    )
+    T_gt = [SE3.exp(jax.random.normal(jax.random.fold_in(key, i), (6,)) * 0.1)
+            for i in range(B)]
+    obs = jnp.stack([CAM.map_uvu(T.apply(xyz[i])) for i, T in enumerate(T_gt)])
+    R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    t0 = jnp.zeros((B, 3))
+    w = jnp.ones((B, N))
+    v = jnp.ones((B, N), bool)
+    return R0, t0, xyz, obs, w, v, T_gt
+
+
+class TestMultiStream:
+    def test_mesh_creation(self):
+        mesh = make_mesh(8)
+        assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+
+    def test_sharded_step_recovers_poses(self):
+        assert len(jax.devices()) >= 8, "conftest provides 8 CPU devices"
+        mesh = make_mesh(8)
+        step = build_multistream_step(mesh, CAM_PARAMS, iters=10)
+        R0, t0, xyz, obs, w, v, T_gt = make_problem(B=mesh.shape["dp"] * 2)
+
+        args = [
+            jax.device_put(R0, NamedSharding(mesh, P("dp", None, None))),
+            jax.device_put(t0, NamedSharding(mesh, P("dp", None))),
+            jax.device_put(xyz, NamedSharding(mesh, P("dp", "sp", None))),
+            jax.device_put(obs, NamedSharding(mesh, P("dp", "sp", None))),
+            jax.device_put(w, NamedSharding(mesh, P("dp", "sp"))),
+            jax.device_put(v, NamedSharding(mesh, P("dp", "sp"))),
+        ]
+        R, t, chi = step(*args)
+        for i, T in enumerate(T_gt):
+            err = (SE3(R[i], t[i]) @ T.inverse()).log()
+            assert float(jnp.max(jnp.abs(err))) < 1e-3, (i, np.asarray(err))
+
+    def test_matches_single_device(self):
+        """Sharded result must equal the unsharded computation."""
+        mesh = make_mesh(8)
+        step = build_multistream_step(mesh, CAM_PARAMS, iters=5)
+        R0, t0, xyz, obs, w, v, T_gt = make_problem(B=mesh.shape["dp"])
+        R_sh, t_sh, _ = step(R0, t0, xyz, obs, w, v)
+
+        mesh1 = make_mesh(1, dp=1)
+        step1 = build_multistream_step(mesh1, CAM_PARAMS, iters=5)
+        R_1, t_1, _ = step1(R0, t0, xyz, obs, w, v)
+        np.testing.assert_allclose(np.asarray(R_sh), np.asarray(R_1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_1),
+                                   atol=1e-5)

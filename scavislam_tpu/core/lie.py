@@ -284,3 +284,120 @@ def ad_se3(xi: jnp.ndarray) -> jnp.ndarray:
     top = jnp.concatenate([Ow, Ou], axis=-1)
     bot = jnp.concatenate([zeros, Ow], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+class Sim3(NamedTuple):
+    """Similarity transform (scale * R, t) — mono-SLAM scaffolding parity.
+
+    The reference gates all Sim3 machinery behind ``#ifdef MONO`` that is
+    never enabled (SURVEY.md §0; anchored_points.h:180-218, Sim3 vertex/edge
+    analogs); we provide the group operations so a future monocular mode has
+    its substrate. Tangent layout: [upsilon(3), omega(3), sigma(1)] with
+    s = exp(sigma).
+    """
+
+    R: jnp.ndarray  # (..., 3, 3)
+    t: jnp.ndarray  # (..., 3)
+    s: jnp.ndarray  # (...,) scale
+
+    @staticmethod
+    def identity(batch_shape=(), dtype=jnp.float32) -> "Sim3":
+        return Sim3(
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*batch_shape, 3, 3)),
+            jnp.zeros((*batch_shape, 3), dtype),
+            jnp.ones(batch_shape, dtype),
+        )
+
+    @staticmethod
+    def exp(xi: jnp.ndarray) -> "Sim3":
+        """7-vector [ups, omega, sigma] -> group element (closed form W)."""
+        ups, omega, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+        R = SO3.exp(omega).R
+        s = jnp.exp(sigma)
+        theta2 = jnp.sum(omega * omega, axis=-1)
+        theta = jnp.sqrt(jnp.maximum(theta2, 1e-12))
+        Om = hat(omega)
+        Om2 = Om @ Om
+        eye = jnp.eye(3, dtype=xi.dtype)
+
+        # W = A I + B Om + C Om^2 (Strasdat's Sim3 exp; series-safe branches)
+        sig_small = jnp.abs(sigma) < 1e-4
+        th_small = theta2 < 1e-6
+        sig_safe = jnp.where(sig_small, 1.0, sigma)
+        th_safe = jnp.where(th_small, 1.0, theta)
+
+        A_ss = 1.0 + sigma / 2.0 + sigma * sigma / 6.0  # (e^s - 1)/s series
+        A_gen = (s - 1.0) / sig_safe
+        A = jnp.where(sig_small, A_ss, A_gen)
+
+        # B, C for the rotation-coupled part
+        a = s * jnp.sin(th_safe)
+        b = s * jnp.cos(th_safe)
+        c = theta2 + sigma * sigma
+        c_safe = jnp.where(c < 1e-12, 1.0, c)
+        B_gen = (a * sigma + (1.0 - b) * theta) / (th_safe * c_safe)
+        C_gen = (A - ((b - 1.0) * sigma + a * theta) / c_safe) / jnp.maximum(
+            theta2, 1e-12
+        )
+        B_small = 0.5 - sigma / 6.0  # theta->0 limit
+        C_small = 1.0 / 6.0 - sigma / 24.0
+        B = jnp.where(th_small, B_small, B_gen)
+        C = jnp.where(th_small, C_small, C_gen)
+
+        W = (
+            A[..., None, None] * eye
+            + B[..., None, None] * Om
+            + C[..., None, None] * Om2
+        )
+        t = jnp.einsum("...ij,...j->...i", W, ups)
+        return Sim3(R, t, s)
+
+    def log(self) -> jnp.ndarray:
+        omega = SO3(self.R).log()
+        sigma = jnp.log(self.s)
+        # invert W numerically via solve (exact; W is 3x3)
+        xi_probe = jnp.concatenate(
+            [jnp.zeros_like(omega), omega, sigma[..., None]], axis=-1
+        )
+        # rebuild W from (omega, sigma) by calling exp with zero translation
+        W_t = Sim3.exp(xi_probe).t  # zero
+        # reconstruct W columns by probing unit translations
+        eye = jnp.eye(3, dtype=self.t.dtype)
+        cols = []
+        for i in range(3):
+            probe = jnp.concatenate(
+                [jnp.broadcast_to(eye[i], omega.shape), omega,
+                 sigma[..., None]], axis=-1
+            )
+            cols.append(Sim3.exp(probe).t)
+        W = jnp.stack(cols, axis=-1)
+        ups = jnp.linalg.solve(W, self.t[..., :, None])[..., 0]
+        return jnp.concatenate(
+            [ups, omega, sigma[..., None]], axis=-1
+        )
+
+    def __matmul__(self, other):
+        if isinstance(other, Sim3):
+            return Sim3(
+                self.R @ other.R,
+                self.s[..., None]
+                * jnp.einsum("...ij,...j->...i", self.R, other.t)
+                + self.t,
+                self.s * other.s,
+            )
+        return self.apply(other)
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (
+            self.s[..., None] * jnp.einsum("...ij,...j->...i", self.R, x)
+            + self.t
+        )
+
+    def inverse(self) -> "Sim3":
+        Rt = jnp.swapaxes(self.R, -1, -2)
+        s_inv = 1.0 / self.s
+        return Sim3(
+            Rt,
+            -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, self.t),
+            s_inv,
+        )

@@ -212,3 +212,22 @@ def relative_pose_jacobians(T_21: SE3, T_1w: SE3, T_2w: SE3):
     J1 = se3_left_jacobian_inv(d) @ T_21.adjoint()
     J2 = -se3_right_jacobian_inv(d)
     return d, J1, J2
+
+
+# -- homography ---------------------------------------------------------------
+
+def homography_c2_from_c1(
+    T_c2_from_c1: SE3, normal_c1: jnp.ndarray, point_on_plane_c1: jnp.ndarray
+) -> jnp.ndarray:
+    """Plane-induced homography H such that x2 ~ H @ x1 (normalized coords).
+
+    H = R + t * n^T / d with d = n . p, the standard formula; parity surface:
+    the reference's Homography::calc_c2_from_c1
+    (/root/reference/scavislam/homography.{h,cpp}, used by the disabled
+    projective patch-warp path, matcher.cpp:461-525).
+    """
+    d = jnp.sum(normal_c1 * point_on_plane_c1, axis=-1)
+    return T_c2_from_c1.R + (
+        T_c2_from_c1.t[..., :, None] * normal_c1[..., None, :]
+        / d[..., None, None]
+    )

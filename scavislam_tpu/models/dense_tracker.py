@@ -252,6 +252,7 @@ def compute_dense_point_cloud(
     return xyz_ak, valid.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("levels",))
 def cloud_pyramid_from_disparity(disp0, cam0: StereoCamera, T: SE3, levels=3):
     """Per-level point clouds + intensity grids for the tracker: level l uses
     the level-0 disparity decimated by 2^l (value-invariant thanks to the

@@ -2,34 +2,25 @@
 
 Re-implements the reference's StereoFrontend
 (/root/reference/scavislam/stereo_frontend.{h,cpp}) as a thin host
-orchestrator over jitted device stages. Per-frame pipeline
-(parity: StereoFrontend::processFrame, stereo_frontend.cpp:183-306):
+orchestrator over ONE fused device program per frame
+(models.frontend_step.frontend_step — see its docstring for the stage list
+and the host<->device traffic contract) plus one fused program per new
+keyframe (spawn_points_step).
 
- 1. preprocess (pyramid + gradients)                 [device]
- 2. dense tracking vs previous frame's cloud         [device, one program]
- 3. block-matching disparity                         [device]
- 4. FAST corner buckets per pyramid level            [device]
- 5. guided matching of candidate map points          [device]
- 6. robust motion-only BA (>=20 obs or failure,
-    stereo_frontend.cpp:1053-1056)                   [device]
- 7. reprojection gating (+-max_reproj_error * 2^l px,
-    +-6 px disparity; stereo_frontend.cpp:834-974)   [device]
- 8. keyframe switch / drop decisions                 [host, scalar stats]
- 9. new-keyframe assembly: covis strengths, per-cell
-    point replenishment with clearance
-    (stereo_frontend.cpp:309-443, 706-823)           [device + host ids]
-10. dense point cloud for the next frame             [device]
+Host responsibilities (scalar/set work only):
+- candidate-id assembly from covisibility bookkeeping
+  (the 3-stage matching of stereo_frontend.cpp:977-1050);
+- keyframe switch/drop policy on the step's fetched statistics
+  (stereo_frontend.cpp:445-528);
+- id allocation, covisibility strengths, AddToOptimizer packets.
 
-Host<->device traffic per frame: candidate-id index arrays down, a handful of
-policy scalars back — the images and map tables stay device-resident
-(SURVEY.md §2 "parallelism strategies" item 5).
+Pose/point numpy mirrors are kept host-side so policy never reads device
+memory; the device tables remain the single source of truth for compute.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,56 +28,50 @@ import numpy as np
 
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
-from scavislam_tpu.core.transforms import psi_from_xyz
-from scavislam_tpu.models.dense_tracker import (
-    cloud_pyramid_from_disparity,
-    dense_tracking,
+from scavislam_tpu.models.frontend_step import (
+    FrontendStepOut,
+    frontend_step,
+    spawn_points_step,
 )
 from scavislam_tpu.models.map_store import (
     MAX_KEYFRAMES,
     MAX_POINTS,
     PointTable,
     PoseTable,
-    materialize_points,
 )
-from scavislam_tpu.models.matcher import _match_level, capture_source_patches
-from scavislam_tpu.models.pose_optimizer import motion_only_ba_robust
-from scavislam_tpu.ops.fast import corner_buckets, detect_corners_grid
-from scavislam_tpu.ops.image import preprocess_frame_jit
-from scavislam_tpu.ops.stereo import block_matching_disparity
 from scavislam_tpu.utils.config import Config
 
 # static capacities
 CAND_CAP = 1536  # candidate points considered per frame
 NEW_PER_LEVEL = (320, 96, 32)  # new points per keyframe per level
 # (reference budget: <=300*4^-l at level 0, stereo_frontend.cpp:743)
+TRACKED_CAP = 1024  # padded tracked-obs buffer for clearance tests
 MIN_TRACK_OBS = 20  # tracking failure threshold (stereo_frontend.cpp:1053)
 
 
 @dataclass
 class AddToOptimizer:
     """Frontend -> backend keyframe packet
-    (parity: AddToOptimzer [sic], data_structures.h:153-171). Carries the
-    new points' full payload (psi/level/uvu) so the backend graph needs no
-    access to frontend internals, plus immutable snapshots of the device
-    tables and this keyframe's pyramid for local registration / loop
-    closure re-matching (the reference clones the frame, keyframes.h:48-88;
-    jax arrays are immutable so a reference IS a snapshot)."""
+    (parity: AddToOptimzer [sic], data_structures.h:153-171). Carries the new
+    points' full payload plus immutable snapshots of the device tables and
+    this keyframe's pyramid for registration / loop-closure re-matching (the
+    reference clones the frame, keyframes.h:48-88; jax arrays are immutable
+    so a reference IS a snapshot)."""
 
     kf_id: int
     T_kw: SE3
-    new_point_ids: np.ndarray  # global ids of newly created points
-    new_psi: np.ndarray  # (m, 3) inverse-depth in this keyframe's frame
+    new_point_ids: np.ndarray
+    new_psi: np.ndarray  # (m, 3)
     new_levels: np.ndarray  # (m,)
-    new_uvu: np.ndarray  # (m, 3) creation observation, level-0 uvu
-    tracked_point_ids: np.ndarray  # ids of re-observed points
-    tracked_obs: np.ndarray  # (n, 3) level-0 uvu
-    tracked_levels: np.ndarray  # (n,)
-    covis_strengths: dict  # kf_id -> shared-feature count
-    pyr: tuple = None  # this keyframe's image pyramid (device arrays)
-    disp: object = None  # level-0 disparity
-    points_snapshot: object = None  # PointTable at packet time
-    poses_snapshot: object = None  # PoseTable at packet time
+    new_uvu: np.ndarray  # (m, 3)
+    tracked_point_ids: np.ndarray
+    tracked_obs: np.ndarray  # (n, 3)
+    tracked_levels: np.ndarray
+    covis_strengths: dict
+    pyr: tuple = None
+    disp: object = None
+    points_snapshot: object = None
+    poses_snapshot: object = None
 
 
 @dataclass
@@ -96,7 +81,6 @@ class FrontendDrawData:
 
     tracked_uv: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
     new_uv: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
-    corners_uv: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
 
 
 class TrackingFailure(Exception):
@@ -104,15 +88,17 @@ class TrackingFailure(Exception):
 
 
 class StereoFrontend:
-    """Host shell; all bulk math on device. Public surface mirrors
-    stereo_frontend.h:85-128: initialize / processFirstFrame / processFrame,
-    `to_optimizer_stack`, `T_cur_from_actkey`, `actkey_id`, `neighborhood`."""
+    """Public surface mirrors stereo_frontend.h:85-128."""
 
     def __init__(self, cam: StereoCamera, cfg: Config = None):
         self.cfg = cfg or Config()
         self.cam = cam
         self.levels = self.cfg.use_n_levels_in_frontent
         self.cams = [cam.scale_level(l) for l in range(self.levels)]
+        self._cam_params = tuple(
+            (c.focal, c.pp[0], c.pp[1], c.baseline) for c in self.cams
+        )
+        self._cam_statics = tuple(c.size for c in self.cams)
         self.poses = PoseTable.empty()
         self.points = PointTable.empty()
 
@@ -120,196 +106,161 @@ class StereoFrontend:
         self.next_point = 0
         self.kf_point_ids: dict[int, np.ndarray] = {}
         self.covis: dict[int, dict[int, int]] = {}
-        self.keyframe_map: dict[int, dict] = {}  # kf_id -> snapshot for backend
+        self.keyframe_map: dict[int, dict] = {}
+        self.pose_np: dict[int, tuple] = {}  # host mirror of keyframe poses
         self.actkey_id = -1
-        self.T_cur_from_actkey = SE3.identity()
-        self.neighborhood = None  # set by the pipeline from backend output
+        self.neighborhood = None
         self.to_optimizer_stack: list[AddToOptimizer] = []
         self.draw_data = FrontendDrawData()
 
-        # per-frame rolling state
+        # host numpy mirrors of point metadata (for policy only)
+        self._meta_anchor = np.full(MAX_POINTS, -1, np.int64)
+        self._meta_level = np.zeros(MAX_POINTS, np.int64)
+
+        # rolling per-frame state (device + small host scalars)
         self._prev_clouds = None
         self._prev_intens = None
         self._prev_valids = None
+        self._R_cak = np.eye(3, dtype=np.float32)
+        self._t_cak = np.zeros(3, np.float32)
+        self._R_cw = np.eye(3, dtype=np.float32)
+        self._t_cw = np.zeros(3, np.float32)
         self._num_disp = 16 * self.cfg.ui.num_disp16
         self.frame_id = -1
 
-        # tracked set: ids currently matched (for covis + track stats)
         self._tracked_ids = np.zeros((0,), np.int64)
         self._tracked_obs = np.zeros((0, 3), np.float32)
         self._tracked_levels = np.zeros((0,), np.int64)
 
-    # ------------------------------------------------------------------ #
-    def _preprocess(self, left, right):
-        pre = preprocess_frame_jit(left, self.levels)
-        disp = block_matching_disparity(
-            left, right, num_disp=self._num_disp, radius=5
-        )
-        buckets = [
-            corner_buckets(
-                pre["pyr"][l],
-                threshold=10.0 / 255.0,
-                cells_y=max(self.cams[l].height // 8, 4),
-                cells_x=max(self.cams[l].width // 8, 4),
-                per_cell=4,
-            )
-            for l in range(self.levels)
-        ]
-        return pre, disp, buckets
+    # -- public pose accessors ------------------------------------------- #
+    @property
+    def T_cur_from_actkey(self) -> SE3:
+        return SE3(jnp.asarray(self._R_cak), jnp.asarray(self._t_cak))
 
     def _world_pose(self) -> SE3:
-        """T_cur_from_world from the (possibly backend-updated) actkey pose."""
-        T_ak_w = SE3(self.poses.R[self.actkey_id], self.poses.t[self.actkey_id])
-        return self.T_cur_from_actkey @ T_ak_w
+        return SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
 
-    # ------------------------------------------------------------------ #
+    # -- frame processing -------------------------------------------------- #
+    def _run_step(self, frame, cand_ids):
+        left = jnp.asarray(frame["left"])
+        right = (
+            jnp.asarray(frame["right"]) if "right" in frame
+            else jnp.zeros_like(left)
+        )
+        ext = frame.get("disp")
+        use_ext = ext is not None or frame.get("use_gt_disp", False)
+        if frame.get("use_gt_disp", False):
+            ext = frame["disp_gt"]
+        if ext is None:
+            ext = jnp.zeros_like(left)
+        return frontend_step(
+            left, right, jnp.asarray(ext),
+            self._prev_clouds, self._prev_intens, self._prev_valids,
+            jnp.asarray(self._R_cak), jnp.asarray(self._t_cak),
+            jnp.int32(max(self.actkey_id, 0)),
+            self.poses, self.points,
+            jnp.asarray(cand_ids, jnp.int32),
+            self._cam_params, self._cam_statics,
+            self.levels, self._num_disp, bool(use_ext),
+            float(self.cfg.ui.max_reproj_error), 0.18,
+        )
+
+    def _empty_prev_state(self, shape):
+        h, w = shape
+        clouds, intens, valids = [], [], []
+        for l in range(self.levels):
+            n = (h // (2**l)) * (w // (2**l))
+            clouds.append(jnp.zeros((n, 3), jnp.float32))
+            intens.append(jnp.zeros((n,), jnp.float32))
+            valids.append(jnp.zeros((n,), bool))
+        return tuple(clouds), tuple(intens), tuple(valids)
+
     def process_first_frame(self, frame: dict):
-        """Bootstrap: make frame 0 the first keyframe at the origin.
-        Parity: StereoFrontend::processFirstFrame (stereo_frontend.cpp)."""
+        """Bootstrap: frame 0 becomes the first keyframe at the origin."""
         self.frame_id = frame.get("frame_id", 0)
-        left, right = frame["left"], frame["right"]
-        pre, disp, buckets = self._preprocess(left, right)
-        if "disp_gt" in frame and frame.get("use_gt_disp", False):
-            disp = frame["disp_gt"]
+        h, w = np.asarray(frame["left"]).shape
+        self._prev_clouds, self._prev_intens, self._prev_valids = (
+            self._empty_prev_state((h, w))
+        )
+        cand_ids = np.full(CAND_CAP, -1, np.int64)
+        out = self._run_step(frame, cand_ids)
+
         kf_id = self._new_keyframe_id()
         T_kw = frame.get("T_cw_init", SE3.identity())
         self.poses = self.poses.set(kf_id, T_kw)
+        self.pose_np[kf_id] = (np.asarray(T_kw.R), np.asarray(T_kw.t))
         self.actkey_id = kf_id
-        self.T_cur_from_actkey = SE3.identity()
-        new_ids, new_psi, new_lvl, new_uvu = self._spawn_points(
-            kf_id, pre, disp, buckets, tracked_uv0=None
-        )
+        self._R_cak = np.eye(3, dtype=np.float32)
+        self._t_cak = np.zeros(3, np.float32)
+        self._R_cw = np.asarray(T_kw.R)
+        self._t_cw = np.asarray(T_kw.t)
+
+        new_ids, new_psi, new_lvl, new_uvu = self._spawn(out, kf_id, None)
         self.kf_point_ids[kf_id] = new_ids
         self.covis[kf_id] = {}
         self.keyframe_map[kf_id] = {
-            "pyr": pre["pyr"], "disp": disp, "T_kw": T_kw,
+            "pyr": out.pyr, "disp": out.disp, "T_kw": T_kw,
         }
         pkt = AddToOptimizer(
             kf_id, T_kw, new_ids, new_psi, new_lvl, new_uvu,
-            np.zeros(0, np.int64),
-            np.zeros((0, 3), np.float32), np.zeros(0, np.int64), {},
-            pyr=pre["pyr"], disp=disp,
+            np.zeros(0, np.int64), np.zeros((0, 3), np.float32),
+            np.zeros(0, np.int64), {},
+            pyr=out.pyr, disp=out.disp,
             points_snapshot=self.points, poses_snapshot=self.poses,
         )
         self.to_optimizer_stack.append(pkt)
-        self._roll_dense_state(pre, disp, SE3.identity())
+        self._roll(out)
         return pkt
 
-    # ------------------------------------------------------------------ #
     def process_frame(self, frame: dict):
         """Track one frame. Returns (success, dropped_new_keyframe)."""
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
-        left, right = frame["left"], frame["right"]
-        pre, disp, buckets = self._preprocess(left, right)
-        if "disp_gt" in frame and frame.get("use_gt_disp", False):
-            disp = frame["disp_gt"]
-
-        # -- 1. dense tracking prior (stereo_frontend.cpp:192-196)
-        cur = {"pyr": pre["pyr"], "dx": pre["dx"], "dy": pre["dy"]}
-        dt = dense_tracking(
-            cur,
-            self._prev_clouds,
-            self._prev_intens,
-            self._prev_valids,
-            self.cams,
-            self.T_cur_from_actkey,
-        )
-        self.T_cur_from_actkey = dt.T
-
-        # -- 2. candidate assembly (host ids -> device gather)
         cand_ids = self._collect_candidates()
-        T_cw_est = self._world_pose()
+        out = self._run_step(frame, cand_ids)
 
-        xyz_w, R_aw, t_aw, patches, ok = materialize_points(
-            self.poses, self.points, jnp.asarray(cand_ids)
+        # ---- the ONE host fetch per frame
+        fetched = jax.device_get(
+            (out.R_cw, out.t_cw, out.R_cak, out.t_cak, out.gate,
+             out.obs_uvu, out.n_matched, out.n_gated, out.quad_counts,
+             out.t_norm, out.mean_track_len)
         )
-        levels_arr = np.asarray(self.points.level)[np.clip(cand_ids, 0, MAX_POINTS - 1)]
+        (R_cw, t_cw, R_cak, t_cak, gate, obs_all, n_matched, n_gated,
+         quad_counts, t_norm, mean_track_len) = fetched
 
-        # -- 3. guided matching per level
-        obs_all = np.zeros((CAND_CAP, 3), np.float32)
-        matched_all = np.zeros((CAND_CAP,), bool)
-        corner_all = np.zeros((CAND_CAP, 2), np.float32)
-        for l in range(self.levels):
-            lvl_mask = jnp.asarray((levels_arr == l) & (cand_ids >= 0))
-            res = _match_level(
-                (self.cams[l].focal, self.cams[l].pp[0], self.cams[l].pp[1],
-                 self.cams[l].baseline),
-                self.cams[l].size,
-                pre["pyr"][l],
-                T_cw_est.R, T_cw_est.t,
-                xyz_w,
-                R_aw, t_aw,
-                patches,
-                ok & lvl_mask,
-                buckets[l]["uv"], buckets[l]["valid"],
-                disp,
-                l,
-                0.18,
-                10.0,
-            )
-            m = np.asarray(res.matched)
-            obs_all[m] = np.asarray(res.obs_uvu)[m]
-            matched_all |= m
-            corner_all[m] = np.asarray(res.corner_uv)[m]
-
-        n_matched = int(matched_all.sum())
-        if n_matched < MIN_TRACK_OBS:
+        if int(n_matched) < MIN_TRACK_OBS or int(n_gated) < MIN_TRACK_OBS:
+            return False, False
+        if not np.isfinite(t_cw).all():
             return False, False
 
-        # -- 4. robust motion-only BA (stereo_frontend.cpp:977-1065)
-        weights = jnp.asarray(
-            (0.25 ** levels_arr) * matched_all.astype(np.float32)
-        )
-        ba = motion_only_ba_robust(
-            self.cam,
-            T_cw_est,
-            xyz_w,
-            jnp.asarray(obs_all),
-            weights,
-            jnp.asarray(matched_all),
-            huber_delta=1.0,
-            reject_thresh=float(self.cfg.ui.max_reproj_error) * 2.0,
-        )
-        T_cw = ba.T
-        T_ak_w = SE3(self.poses.R[self.actkey_id], self.poses.t[self.actkey_id])
-        self.T_cur_from_actkey = T_cw @ T_ak_w.inverse()
+        self._R_cw, self._t_cw = R_cw, t_cw
+        self._R_cak, self._t_cak = R_cak, t_cak
 
-        # -- 5. reprojection gating (stereo_frontend.cpp:834-974)
-        resid = np.asarray(ba.residuals)
-        lvl_scale = (2.0 ** levels_arr).astype(np.float32)
-        max_err = float(self.cfg.ui.max_reproj_error)
-        gate = (
-            matched_all
-            & np.asarray(ba.inlier_mask)
-            & (np.abs(resid[:, 0]) < max_err * lvl_scale)
-            & (np.abs(resid[:, 1]) < max_err * lvl_scale)
-            & (np.abs(resid[:, 0] - resid[:, 2]) < 6.0)
-        )
-        n_gated = int(gate.sum())
-        if n_gated < MIN_TRACK_OBS:
-            return False, False
-
+        levels_arr = self._meta_level[np.clip(cand_ids, 0, MAX_POINTS - 1)]
         self._tracked_ids = cand_ids[gate]
         self._tracked_obs = obs_all[gate]
         self._tracked_levels = levels_arr[gate]
         self.draw_data.tracked_uv = obs_all[gate][:, :2]
 
-        # -- 6. keyframe policy (stereo_frontend.cpp:445-528)
         dropped = False
-        switched = self._maybe_switch_keyframe()
-        if not switched and self._shall_drop_keyframe(gate, obs_all):
-            self._add_new_keyframe(pre, disp, buckets, T_cw)
+        switched = self._maybe_switch_keyframe(float(t_norm))
+        if not switched and self._shall_drop_keyframe(
+            quad_counts, float(t_norm), float(mean_track_len)
+        ):
+            self._add_new_keyframe(out)
             dropped = True
 
-        # -- 7. dense cloud for next frame (stereo_frontend.cpp:297-303)
-        self._roll_dense_state(pre, disp, self.T_cur_from_actkey)
+        self._roll(out)
         return True, dropped
 
-    # ------------------------------------------------------------------ #
+    def _roll(self, out: FrontendStepOut):
+        self._prev_clouds = out.clouds
+        self._prev_valids = out.cloud_valids
+        self._prev_intens = out.intens
+
+    # -- candidate assembly ------------------------------------------------ #
     def _collect_candidates(self) -> np.ndarray:
         """actkey's points + covis neighbors' points + neighborhood list,
-        deduped, padded to CAND_CAP with -1
-        (parity: the 3-stage matching of stereo_frontend.cpp:977-1050)."""
+        deduped, padded (parity: stereo_frontend.cpp:977-1050)."""
         lists = []
         if self.actkey_id in self.kf_point_ids:
             lists.append(self.kf_point_ids[self.actkey_id])
@@ -319,11 +270,10 @@ class StereoFrontend:
         ):
             lists.append(self.kf_point_ids.get(nbr, np.zeros(0, np.int64)))
         if self.neighborhood is not None:
-            lists.append(np.asarray(self.neighborhood.get("point_ids", []),
-                                    np.int64))
+            lists.append(np.asarray(
+                self.neighborhood.get("point_ids", []), np.int64))
         if lists:
-            ids = np.concatenate(lists)
-            ids = pd_unique(ids)
+            ids = pd_unique(np.concatenate(lists))
         else:
             ids = np.zeros(0, np.int64)
         out = np.full((CAND_CAP,), -1, np.int64)
@@ -331,214 +281,151 @@ class StereoFrontend:
         out[:n] = ids[:n]
         return out
 
-    # ------------------------------------------------------------------ #
-    def _shall_drop_keyframe(self, gate, obs_all) -> bool:
-        """Parity: stereo_frontend.cpp:512-528 — drop when
-        (a) >= featureless_thr image quadrants have < min_num_points tracked,
-        (b) parallax ||t|| exceeds parallax_thr, or
-        (c) average track length exceeds new_keyframe_pixel_thr."""
+    # -- keyframe policy --------------------------------------------------- #
+    def _shall_drop_keyframe(self, quad_counts, t_norm, mean_track_len):
+        """Parity: stereo_frontend.cpp:512-528."""
         cfg = self.cfg
-        w, h = self.cam.size
-        uv = obs_all[gate][:, :2]
-        qx = (uv[:, 0] > w / 2).astype(int)
-        qy = (uv[:, 1] > h / 2).astype(int)
-        quad_counts = np.bincount(qy * 2 + qx, minlength=4)
-        featureless = int((quad_counts < cfg.ui.min_num_points).sum())
+        featureless = int(
+            (np.asarray(quad_counts) < cfg.ui.min_num_points).sum()
+        )
         if featureless >= cfg.frontend.new_keyframe_featureless_corners_thr:
             return True
-        if float(jnp.linalg.norm(self.T_cur_from_actkey.t)) > cfg.ui.parallax_thr:
+        if t_norm > cfg.ui.parallax_thr:
             return True
-        # average track length for points anchored at actkey
-        ids = self._tracked_ids
-        anch = np.asarray(self.points.anchor)[np.clip(ids, 0, MAX_POINTS - 1)]
-        own = anch == self.actkey_id
-        if own.sum() > 0:
-            uv0 = np.asarray(self.points.uv0)[ids[own]]
-            track_len = np.linalg.norm(
-                self._tracked_obs[own][:, :2] - uv0, axis=-1
-            )
-            if float(track_len.mean()) > cfg.frontend.new_keyframe_pixel_thr:
-                return True
+        if mean_track_len > cfg.frontend.new_keyframe_pixel_thr:
+            return True
         return False
 
-    def _maybe_switch_keyframe(self) -> bool:
-        """Parity: stereo_frontend.cpp:445-510 — retarget actkey if another
-        covisible keyframe is closer than half the parallax threshold and
-        shares >100 tracked features."""
+    def _maybe_switch_keyframe(self, t_norm: float) -> bool:
+        """Parity: stereo_frontend.cpp:445-510."""
         ids = self._tracked_ids
         if len(ids) == 0 or self.actkey_id < 0:
             return False
-        anch = np.asarray(self.points.anchor)[np.clip(ids, 0, MAX_POINTS - 1)]
-        t_cur_norm = float(jnp.linalg.norm(self.T_cur_from_actkey.t))
-        T_cw = self._world_pose()
+        anch = self._meta_anchor[np.clip(ids, 0, MAX_POINTS - 1)]
         best = None
         for nbr in self.covis.get(self.actkey_id, {}):
             shared = int((anch == nbr).sum())
-            if shared <= 100:
+            if shared <= 100 or nbr not in self.pose_np:
                 continue
-            T_nw = SE3(self.poses.R[nbr], self.poses.t[nbr])
-            d = float(jnp.linalg.norm((T_cw @ T_nw.inverse()).t))
-            if d < 0.5 * self.cfg.ui.parallax_thr and d < t_cur_norm:
+            Rn, tn = self.pose_np[nbr]
+            R_cn = self._R_cw @ Rn.T
+            d = float(np.linalg.norm(self._t_cw - R_cn @ tn))
+            if d < 0.5 * self.cfg.ui.parallax_thr and d < t_norm:
                 if best is None or d < best[1]:
                     best = (nbr, d)
         if best is None:
             return False
-        new_ak = best[0]
-        T_nw = SE3(self.poses.R[new_ak], self.poses.t[new_ak])
-        self.T_cur_from_actkey = self._world_pose() @ T_nw.inverse()
-        self.actkey_id = new_ak
+        nbr = best[0]
+        Rn, tn = self.pose_np[nbr]
+        R_cn = self._R_cw @ Rn.T
+        t_cn = self._t_cw - R_cn @ tn
+        self.actkey_id = nbr
+        self._R_cak = R_cn.astype(np.float32)
+        self._t_cak = t_cn.astype(np.float32)
         return True
 
-    # ------------------------------------------------------------------ #
+    # -- keyframe creation ------------------------------------------------- #
     def _new_keyframe_id(self) -> int:
         kf = self.next_kf
         assert kf < MAX_KEYFRAMES, "keyframe table full"
         self.next_kf += 1
         return kf
 
-    def _spawn_points(self, kf_id, pre, disp, buckets, tracked_uv0):
-        """Create new anchored points from corners with valid disparity,
-        respecting clearance from already-tracked observations
-        (parity: addMorePoints, stereo_frontend.cpp:706-823)."""
-        all_new = []
-        all_psi, all_lvl, all_uvu = [], [], []
-        for l in range(self.levels):
-            cap = NEW_PER_LEVEL[l]
-            uv, score, valid = detect_corners_grid(
-                pre["pyr"][l],
-                threshold=10.0 / 255.0,
-                cells_y=3,
-                cells_x=3,
-                per_cell=-(-cap // 9),
-            )
-            uv_np = np.asarray(uv)
-            ok = np.array(valid)  # writable copy
-            s = 2**l
-            uv0 = (uv_np + 0.5) * s - 0.5
-            d0 = np.asarray(disp)
-            ui = np.clip(np.round(uv0[:, 0]).astype(int), 0, d0.shape[1] - 1)
-            vi = np.clip(np.round(uv0[:, 1]).astype(int), 0, d0.shape[0] - 1)
-            dvals = d0[vi, ui]
-            ok &= dvals > 0.5
-            # clearance vs tracked observations (reference: quadtree-gated
-            # 2 px clearance; here a brute-force distance test, still tiny)
-            if tracked_uv0 is not None and len(tracked_uv0) > 0:
-                clearance = self.cfg.frontend.newpoint_clearance * s
-                d2 = (
-                    (uv0[:, None, 0] - tracked_uv0[None, :, 0]) ** 2
-                    + (uv0[:, None, 1] - tracked_uv0[None, :, 1]) ** 2
-                )
-                ok &= d2.min(axis=1) > clearance * clearance
-            # keep top `cap` by score among ok
-            order = np.argsort(-np.asarray(score) * ok)
-            keep = order[:cap]
-            uv_l = uv_np[keep]
-            uv0_k = uv0[keep]
-            ok_k = ok[keep]
-            d_k = dvals[keep]
-
-            # psi in the new keyframe's frame (xyz from level camera)
-            cam_l = self.cams[l]
-            d_safe = np.where(ok_k, d_k, 1.0)
-            xyz_a = np.asarray(
-                cam_l.uv_disp_to_xyz(
-                    jnp.asarray(uv_l[:, 0], jnp.float32),
-                    jnp.asarray(uv_l[:, 1], jnp.float32),
-                    jnp.asarray(d_safe, jnp.float32),
-                )
-            )
-            psi = np.asarray(psi_from_xyz(jnp.asarray(xyz_a)))
-            patches, p_ok = capture_source_patches(
-                pre["pyr"][l], jnp.asarray(uv_l, jnp.float32)
-            )
-            ok_k = ok_k & np.asarray(p_ok)
-
-            start = self.next_point
-            assert start + cap <= MAX_POINTS, "point table full"
-            self.points = self.points.insert_block(
-                start,
-                jnp.asarray(psi, jnp.float32),
-                kf_id,
-                jnp.full((cap,), l, jnp.int32),
-                patches,
-                jnp.asarray(uv0_k, jnp.float32),
-                jnp.asarray(ok_k),
-            )
-            ids = np.arange(start, start + cap, dtype=np.int64)
-            all_new.append(ids[ok_k])
-            all_psi.append(psi[ok_k])
-            all_lvl.append(np.full(int(ok_k.sum()), l, np.int64))
-            uvu0 = np.stack(
-                [uv0_k[:, 0], uv0_k[:, 1], uv0_k[:, 0] - d_k], axis=-1
-            )
-            all_uvu.append(uvu0[ok_k])
+    def _spawn(self, out: FrontendStepOut, kf_id: int, tracked_obs):
+        """Run the fused spawn program + host id allocation."""
+        caps = NEW_PER_LEVEL[: self.levels]
+        starts = []
+        for cap in caps:
+            assert self.next_point + cap <= MAX_POINTS, "point table full"
+            starts.append(self.next_point)
             self.next_point += cap
-        if not all_new:
-            z = np.zeros(0, np.int64)
-            return z, np.zeros((0, 3)), z, np.zeros((0, 3))
+
+        t_uv0 = np.zeros((TRACKED_CAP, 2), np.float32)
+        t_val = np.zeros(TRACKED_CAP, bool)
+        if tracked_obs is not None and len(tracked_obs) > 0:
+            n = min(len(tracked_obs), TRACKED_CAP)
+            t_uv0[:n] = tracked_obs[:n, :2]
+            t_val[:n] = True
+
+        self.points, payloads = spawn_points_step(
+            out.pyr, out.disp,
+            jnp.asarray(t_uv0), jnp.asarray(t_val),
+            self.points,
+            jnp.asarray(starts, jnp.int32),
+            jnp.int32(kf_id),
+            self._cam_params, self._cam_statics,
+            self.levels, tuple(caps),
+            float(self.cfg.frontend.newpoint_clearance),
+        )
+        payloads = jax.device_get(payloads)
+
+        all_ids, all_psi, all_lvl, all_uvu = [], [], [], []
+        for l, pl in enumerate(payloads):
+            ok = pl["ok"]
+            ids = np.arange(starts[l], starts[l] + caps[l], dtype=np.int64)
+            self._meta_anchor[ids[ok]] = kf_id
+            self._meta_level[ids[ok]] = l
+            all_ids.append(ids[ok])
+            all_psi.append(pl["psi"][ok])
+            all_lvl.append(np.full(int(ok.sum()), l, np.int64))
+            all_uvu.append(pl["uvu0"][ok])
         return (
-            np.concatenate(all_new),
+            np.concatenate(all_ids),
             np.concatenate(all_psi),
             np.concatenate(all_lvl),
             np.concatenate(all_uvu),
         )
 
-    def _add_new_keyframe(self, pre, disp, buckets, T_cw: SE3):
+    def _add_new_keyframe(self, out: FrontendStepOut):
         """Parity: addNewKeyframe (stereo_frontend.cpp:309-443)."""
         kf_id = self._new_keyframe_id()
+        T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
         self.poses = self.poses.set(kf_id, T_cw)
+        self.pose_np[kf_id] = (self._R_cw.copy(), self._t_cw.copy())
 
-        # covis strengths: count gated tracked points per anchor keyframe
-        anch = np.asarray(self.points.anchor)[
+        anch = self._meta_anchor[
             np.clip(self._tracked_ids, 0, MAX_POINTS - 1)
         ]
         strengths = {}
         for a, c in zip(*np.unique(anch, return_counts=True)):
-            if int(c) >= self.cfg.frontend.covis_thr:
+            if int(a) >= 0 and int(c) >= self.cfg.frontend.covis_thr:
                 strengths[int(a)] = int(c)
         self.covis[kf_id] = dict(strengths)
         for a, c in strengths.items():
             self.covis.setdefault(a, {})[kf_id] = c
 
-        new_ids, new_psi, new_lvl, new_uvu = self._spawn_points(
-            kf_id, pre, disp, buckets, tracked_uv0=self._tracked_obs[:, :2]
+        new_ids, new_psi, new_lvl, new_uvu = self._spawn(
+            out, kf_id, self._tracked_obs
         )
-        # the keyframe "owns" its new points plus the tracked ones
         self.kf_point_ids[kf_id] = np.concatenate(
             [new_ids, self._tracked_ids]
         )
         self.keyframe_map[kf_id] = {
-            "pyr": pre["pyr"], "disp": disp, "T_kw": T_cw,
+            "pyr": out.pyr, "disp": out.disp, "T_kw": T_cw,
         }
         pkt = AddToOptimizer(
-            kf_id,
-            T_cw,
-            new_ids, new_psi, new_lvl, new_uvu,
-            self._tracked_ids.copy(),
-            self._tracked_obs.copy(),
-            self._tracked_levels.copy(),
-            strengths,
-            pyr=pre["pyr"], disp=disp,
+            kf_id, T_cw, new_ids, new_psi, new_lvl, new_uvu,
+            self._tracked_ids.copy(), self._tracked_obs.copy(),
+            self._tracked_levels.copy(), strengths,
+            pyr=out.pyr, disp=out.disp,
             points_snapshot=self.points, poses_snapshot=self.poses,
         )
         self.to_optimizer_stack.append(pkt)
         self.actkey_id = kf_id
-        self.T_cur_from_actkey = SE3.identity()
+        self._R_cak = np.eye(3, dtype=np.float32)
+        self._t_cak = np.zeros(3, np.float32)
 
-    # ------------------------------------------------------------------ #
+    # -- backend feedback --------------------------------------------------- #
     def apply_neighborhood(self, nb):
-        """Adopt a backend-optimized neighborhood: update device pose/point
-        tables and the candidate point list. Mirrors the reference's
-        neighborhood adoption in the main loop (stereo_slam.cpp:694-703),
-        which only adopts when the current actkey is included."""
+        """Adopt a backend-optimized neighborhood (stereo_slam.cpp:694-703:
+        adopt only if it contains the current actkey)."""
         if nb is None or self.actkey_id not in nb.get("kf_ids", []):
             return False
-        import jax.numpy as jnp
-
         for kf, (R, t) in nb.get("poses", {}).items():
-            self.poses = self.poses.set(
-                int(kf),
-                SE3(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)),
+            T = SE3(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+            self.poses = self.poses.set(int(kf), T)
+            self.pose_np[int(kf)] = (
+                np.asarray(R, np.float32), np.asarray(t, np.float32)
             )
         pids = nb.get("psi_ids")
         if pids is not None and len(pids) > 0:
@@ -546,17 +433,12 @@ class StereoFrontend:
             self.points = self.points._replace(
                 psi=self.points.psi.at[jnp.asarray(pids)].set(psi_new)
             )
+        # keep world pose consistent with the (possibly moved) actkey
+        Rk, tk = self.pose_np[self.actkey_id]
+        self._R_cw = (self._R_cak @ Rk).astype(np.float32)
+        self._t_cw = (self._R_cak @ tk + self._t_cak).astype(np.float32)
         self.neighborhood = nb
         return True
-
-    # ------------------------------------------------------------------ #
-    def _roll_dense_state(self, pre, disp, T_cur_from_actkey: SE3):
-        clouds, valids = cloud_pyramid_from_disparity(
-            disp, self.cam, T_cur_from_actkey, self.levels
-        )
-        self._prev_clouds = clouds
-        self._prev_valids = valids
-        self._prev_intens = tuple(p.reshape(-1) for p in pre["pyr"])
 
 
 def pd_unique(ids: np.ndarray) -> np.ndarray:

@@ -1,0 +1,430 @@
+"""The fused per-frame frontend step: ONE device program per frame.
+
+The reference pipeline crosses the host<->device boundary dozens of times per
+frame (uploads, disparity download, per-iteration H/b readbacks —
+stereo_frontend.cpp:139, 559-612, dense_tracking.cpp:129-176). Early versions
+of this frontend mirrored that structure with one jit per stage and paid a
+host round-trip per stage — fatal over a remote-chip link.
+
+This module fuses the WHOLE per-frame compute into a single XLA program:
+
+    preprocess -> block-matching stereo -> FAST corner buckets (3 levels)
+    -> dense photometric tracking (full coarse-to-fine LM)
+    -> candidate materialization from the device map tables
+    -> guided ZMSSD matching (3 levels)
+    -> robust motion-only BA (LM + rejection round)
+    -> reprojection gating + keyframe-policy statistics
+    -> next frame's dense point-cloud state
+
+Per frame the host sends: two images + one candidate-id vector; it receives:
+one pose, the gate mask + observations, and ~a dozen policy scalars — a
+single jax.device_get of one small pytree. Everything else stays in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scavislam_tpu.core.lie import SE3
+from scavislam_tpu.models.dense_tracker import _lm_level
+from scavislam_tpu.models.map_store import PointTable, PoseTable
+from scavislam_tpu.models.matcher import _warp_from_source
+from scavislam_tpu.models.pose_optimizer import motion_only_ba
+from scavislam_tpu.ops.fast import detect_corners_grid
+from scavislam_tpu.ops.image import (
+    bilinear_sample,
+    build_pyramid,
+    nearest_sample,
+    sobel_xy,
+)
+from scavislam_tpu.ops.patches import PATCH, _patch_offsets, affine_from_geometry
+from scavislam_tpu.ops.stereo import block_matching_disparity
+from scavislam_tpu.core.camera import StereoCamera
+
+
+class FrontendStepOut(NamedTuple):
+    # small host-fetched outputs
+    R_cw: jnp.ndarray
+    t_cw: jnp.ndarray
+    R_cak: jnp.ndarray  # T_cur_from_actkey
+    t_cak: jnp.ndarray
+    gate: jnp.ndarray  # (C,) bool gated matches
+    matched: jnp.ndarray  # (C,) bool raw matches
+    obs_uvu: jnp.ndarray  # (C, 3)
+    n_matched: jnp.ndarray
+    n_gated: jnp.ndarray
+    quad_counts: jnp.ndarray  # (4,)
+    t_norm: jnp.ndarray  # |t_cur_from_actkey|
+    mean_track_len: jnp.ndarray
+    dense_chi2: jnp.ndarray
+    ba_chi2: jnp.ndarray
+    # device-resident outputs (not fetched)
+    pyr: tuple
+    dx: tuple
+    dy: tuple
+    disp: jnp.ndarray
+    clouds: tuple
+    cloud_valids: tuple
+    intens: tuple
+
+
+def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
+                     source_patches, point_valid, buckets_uv, buckets_valid,
+                     disp0, level, zmssd_thr, search_radius):
+    """Inlined guided matching for one level (same math as matcher._match_level
+    but callable inside the fused step)."""
+    focal, ppx, ppy = cam_l["focal"], cam_l["ppx"], cam_l["ppy"]
+    w, h = cam_l["size"]
+    N = xyz_w.shape[0]
+    cy, cx, K, _ = buckets_uv.shape
+    cell_h = -(-h // cy)
+    cell_w = -(-w // cx)
+
+    xyz_c = jnp.einsum("ij,nj->ni", R_cw, xyz_w) + t_cw
+    z_c = xyz_c[:, 2]
+    z_safe = jnp.where(jnp.abs(z_c) < 1e-6, 1e-6, z_c)
+    u = xyz_c[:, 0] / z_safe * focal + ppx
+    v = xyz_c[:, 1] / z_safe * focal + ppy
+    pred_uv = jnp.stack([u, v], axis=-1)
+    in_img = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (z_c > 0.1)
+
+    xyz_a = jnp.einsum("nij,nj->ni", R_aw, xyz_w) + t_aw
+    z_a = xyz_a[:, 2]
+    ratio = z_a / z_safe
+    depth_ok = (ratio < 3.0) & (ratio > 1.0 / 3.0) & (z_a > 0.1)
+    cand_ok = point_valid & in_img & depth_ok
+
+    pc_y = jnp.clip((v // cell_h).astype(jnp.int32), 0, cy - 1)
+    pc_x = jnp.clip((u // cell_w).astype(jnp.int32), 0, cx - 1)
+    d3 = jnp.array([-1, 0, 1], jnp.int32)
+    ny = jnp.clip(pc_y[:, None] + d3[None, :], 0, cy - 1)
+    nx = jnp.clip(pc_x[:, None] + d3[None, :], 0, cx - 1)
+    gy = jnp.repeat(ny, 3, axis=1)
+    gx = jnp.tile(nx, (1, 3))
+    c_uv = buckets_uv[gy, gx].reshape(N, 9 * K, 2)
+    c_val = buckets_valid[gy, gx].reshape(N, 9 * K)
+    dist2 = jnp.sum((c_uv - pred_uv[:, None, :]) ** 2, axis=-1)
+    c_val = c_val & (dist2 <= search_radius * search_radius)
+
+    R_ca = jnp.einsum("ij,nkj->nik", R_cw, R_aw)
+    A_a2c = affine_from_geometry(focal, focal, R_ca, xyz_a, xyz_c)
+    det = A_a2c[:, 0, 0] * A_a2c[:, 1, 1] - A_a2c[:, 0, 1] * A_a2c[:, 1, 0]
+    det_ok = jnp.abs(det) > 1e-4
+    det_safe = jnp.where(det_ok, det, 1.0)
+    A_c2a = (
+        jnp.stack(
+            [
+                jnp.stack([A_a2c[:, 1, 1], -A_a2c[:, 0, 1]], axis=-1),
+                jnp.stack([-A_a2c[:, 1, 0], A_a2c[:, 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        / det_safe[:, None, None]
+    )
+    ref_patch, warp_ok = _warp_from_source(source_patches, A_c2a)
+    cand_ok = cand_ok & det_ok & warp_ok
+
+    offs = jnp.asarray(_patch_offsets(PATCH))
+    coords = c_uv[:, :, None, :] + offs[None, None, :, :]
+    cand_patches, patch_ok = bilinear_sample(img_level, coords)
+    patch_ok = jnp.all(patch_ok, axis=-1)
+
+    a = ref_patch - jnp.mean(ref_patch, axis=-1, keepdims=True)
+    b = cand_patches - jnp.mean(cand_patches, axis=-1, keepdims=True)
+    score = (
+        jnp.sum(a * a, axis=-1)[:, None]
+        + jnp.sum(b * b, axis=-1)
+        - 2.0 * jnp.einsum("np,nmp->nm", a, b,
+                           preferred_element_type=jnp.float32)
+    )
+    score = jnp.where(c_val & patch_ok, score, jnp.inf)
+    best = jnp.argmin(score, axis=-1)
+    best_score = jnp.min(score, axis=-1)
+    corner = jnp.take_along_axis(c_uv, best[:, None, None], axis=1)[:, 0, :]
+    matched = cand_ok & jnp.isfinite(best_score) & (best_score < zmssd_thr)
+
+    s = jnp.float32(2**level)
+    uv0 = (corner + 0.5) * s - 0.5
+    disp_val, disp_ok = nearest_sample(disp0, uv0)
+    matched = matched & disp_ok & (disp_val > 0)
+    obs = jnp.stack([uv0[:, 0], uv0[:, 1], uv0[:, 0] - disp_val], axis=-1)
+    return obs, matched
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam_statics", "levels", "num_disp", "use_external_disp",
+        "max_reproj_err", "zmssd_thr",
+    ),
+)
+def frontend_step(
+    left, right, external_disp,
+    prev_clouds, prev_intens, prev_valids,
+    R_prev_cak, t_prev_cak,  # T_cur_from_actkey estimate (last frame's)
+    actkey_id,  # device scalar int; actkey pose is read from the table
+    poses: PoseTable,
+    points: PointTable,
+    cand_ids,  # (C,) int32, -1 padded
+    cam_params,  # per-level (focal, ppx, ppy, baseline) dynamic scalars
+    cam_statics,  # per-level (w, h) static
+    levels: int = 3,
+    num_disp: int = 64,
+    use_external_disp: bool = False,
+    max_reproj_err: float = 2.0,
+    zmssd_thr: float = 0.18,
+) -> FrontendStepOut:
+    # -- 1. preprocess
+    img = left if left.dtype == jnp.float32 else left.astype(jnp.float32) / 255.0
+    pyr = build_pyramid(img, levels)
+    dxs, dys = [], []
+    for p in pyr:
+        dx_, dy_ = sobel_xy(p)
+        dxs.append(dx_)
+        dys.append(dy_)
+    dxs, dys = tuple(dxs), tuple(dys)
+
+    # -- 2. disparity
+    if use_external_disp:
+        disp = external_disp
+    else:
+        disp = block_matching_disparity(img, right, num_disp=num_disp,
+                                        radius=5)
+
+    # actkey pose from the device table (no host gather)
+    R_akw = poses.R[actkey_id]
+    t_akw = poses.t[actkey_id]
+
+    # -- 3. dense tracking (coarse to fine)
+    R_cak, t_cak = R_prev_cak, t_prev_cak
+    dense_chi2 = jnp.float32(0.0)
+    for level in range(levels - 1, -1, -1):
+        focal, ppx, ppy, baseline = cam_params[level]
+        cam_l = StereoCamera(
+            focal, jnp.stack([ppx, ppy]), cam_statics[level], baseline
+        )
+        R_cak, t_cak, chi2_l, _ = _lm_level(
+            cam_l, pyr[level], dxs[level], dys[level],
+            prev_clouds[level], prev_intens[level], prev_valids[level],
+            R_cak, t_cak,
+        )
+        dense_chi2 = chi2_l
+
+    # -- 4. pose estimate in world frame
+    R_cw = R_cak @ R_akw
+    t_cw = jnp.einsum("ij,j->i", R_cak, t_akw) + t_cak
+
+    # -- 5. materialize candidates from the device tables
+    P_cap = points.psi.shape[0]
+    safe = jnp.clip(cand_ids, 0, P_cap - 1)
+    psi = points.psi[safe]
+    q = psi[:, 2:3]
+    q_safe = jnp.where(jnp.abs(q) < 1e-9, 1e-9, q)
+    xyz_a = jnp.concatenate([psi[:, :2], jnp.ones_like(q)], axis=-1) / q_safe
+    a_idx = points.anchor[safe]
+    R_aw = poses.R[a_idx]
+    t_aw = poses.t[a_idx]
+    xyz_w = jnp.einsum("nji,nj->ni", R_aw, xyz_a - t_aw)
+    patches = points.patch[safe]
+    cand_levels = points.level[safe]
+    cand_uv0 = points.uv0[safe]
+    cand_anchor = a_idx
+    ok = (
+        (cand_ids >= 0) & points.valid[safe] & poses.valid[a_idx]
+        & (q[:, 0] > 1e-9)
+    )
+
+    # -- 6. guided matching per level (unrolled static loop)
+    C = cand_ids.shape[0]
+    obs_all = jnp.zeros((C, 3), jnp.float32)
+    matched_all = jnp.zeros((C,), bool)
+    for l in range(levels):
+        focal, ppx, ppy, baseline = cam_params[l]
+        w_l, h_l = cam_statics[l]
+        # buckets at this level
+        cells_y = max(h_l // 8, 4)
+        cells_x = max(w_l // 8, 4)
+        uvb, scoreb, validb = detect_corners_grid(
+            pyr[l], 10.0 / 255.0, cells_y, cells_x, 4
+        )
+        buckets_uv = uvb.reshape(cells_y, cells_x, 4, 2)
+        buckets_valid = validb.reshape(cells_y, cells_x, 4)
+        lvl_ok = ok & (cand_levels == l)
+        obs_l, m_l = _match_one_level(
+            {"focal": focal, "ppx": ppx, "ppy": ppy, "size": (w_l, h_l)},
+            pyr[l], R_cw, t_cw, xyz_w, R_aw, t_aw, patches, lvl_ok,
+            buckets_uv, buckets_valid, disp, l, zmssd_thr, 10.0,
+        )
+        obs_all = jnp.where(m_l[:, None], obs_l, obs_all)
+        matched_all = matched_all | m_l
+
+    n_matched = jnp.sum(matched_all.astype(jnp.int32))
+
+    # -- 7. robust motion-only BA (2 rounds with rejection)
+    focal0, ppx0, ppy0, baseline0 = cam_params[0]
+    cam0 = StereoCamera(
+        focal0, jnp.stack([ppx0, ppy0]), cam_statics[0], baseline0
+    )
+    weights = (0.25 ** cand_levels.astype(jnp.float32)) * matched_all
+    res = motion_only_ba(cam0, SE3(R_cw, t_cw), xyz_w, obs_all, weights,
+                         matched_all, 1.0)
+    keep = (
+        matched_all & res.inlier_mask
+        & (jnp.max(jnp.abs(res.residuals), axis=-1) < max_reproj_err * 2.0)
+    )
+    res = motion_only_ba(cam0, res.T, xyz_w, obs_all, weights, keep, 1.0)
+    R_cw, t_cw = res.T.R, res.T.t
+
+    # -- 8. gating + policy statistics
+    lvl_scale = (2.0 ** cand_levels).astype(jnp.float32)
+    resid = res.residuals
+    gate = (
+        matched_all & res.inlier_mask
+        & (jnp.abs(resid[:, 0]) < max_reproj_err * lvl_scale)
+        & (jnp.abs(resid[:, 1]) < max_reproj_err * lvl_scale)
+        & (jnp.abs(resid[:, 0] - resid[:, 2]) < 6.0)
+    )
+    n_gated = jnp.sum(gate.astype(jnp.int32))
+
+    w0, h0 = cam_statics[0]
+    qx = (obs_all[:, 0] > w0 / 2).astype(jnp.int32)
+    qy = (obs_all[:, 1] > h0 / 2).astype(jnp.int32)
+    quad = qy * 2 + qx
+    quad_counts = jnp.sum(
+        jax.nn.one_hot(quad, 4, dtype=jnp.int32) * gate[:, None].astype(jnp.int32),
+        axis=0,
+    )
+
+    # T_cur_from_actkey after BA
+    R_akw_T = R_akw.T
+    R_cak_new = R_cw @ R_akw_T
+    t_cak_new = t_cw - jnp.einsum("ij,j->i", R_cak_new, t_akw)
+    t_norm = jnp.linalg.norm(t_cak_new)
+
+    own = gate & (cand_anchor == actkey_id)
+    track_len = jnp.linalg.norm(obs_all[:, :2] - cand_uv0, axis=-1)
+    n_own = jnp.maximum(jnp.sum(own.astype(jnp.float32)), 1.0)
+    mean_track_len = jnp.sum(jnp.where(own, track_len, 0.0)) / n_own
+
+    # -- 9. next frame's dense state (cloud pyramid, in actkey frame)
+    clouds, valids, intens = [], [], []
+    Rt = R_cak_new.T
+    for level in range(levels):
+        s = 2**level
+        focal, ppx, ppy, baseline = cam_params[level]
+        d_l = disp[::s, ::s]
+        hh, ww = d_l.shape
+        v_idx = jnp.arange(hh, dtype=jnp.float32)[:, None]
+        u_idx = jnp.arange(ww, dtype=jnp.float32)[None, :]
+        valid = d_l > 0.0
+        d_safe = jnp.where(valid, d_l, 1.0)
+        # depth from the level-0 disparity VALUE (x2^l baseline trick keeps
+        # f*b — hence the disparity for a given depth — invariant per level)
+        z = focal * baseline / d_safe
+        ppx_l = (ppx + 0.5) / s - 0.5
+        ppy_l = (ppy + 0.5) / s - 0.5
+        f_l = focal / s
+        x = (u_idx - ppx_l) / f_l * z
+        y = (v_idx - ppy_l) / f_l * z
+        xyz = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], -1)
+        xyz_ak = jnp.einsum("ij,nj->ni", Rt, xyz - t_cak_new[None, :])
+        clouds.append(xyz_ak)
+        valids.append(valid.reshape(-1))
+        intens.append(pyr[level].reshape(-1))
+
+    return FrontendStepOut(
+        R_cw, t_cw, R_cak_new, t_cak_new,
+        gate, matched_all, obs_all,
+        n_matched, n_gated, quad_counts, t_norm, mean_track_len,
+        dense_chi2, res.chi2,
+        pyr, dxs, dys, disp,
+        tuple(clouds), tuple(valids), tuple(intens),
+    )
+
+
+# -- fused new-keyframe point spawning ---------------------------------------
+
+SOURCE_PATCH = 16
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam_statics", "levels", "caps", "clearance"),
+)
+def spawn_points_step(
+    pyr,  # tuple of level images (from frontend_step output)
+    disp,  # level-0 disparity
+    tracked_uv0,  # (T, 2) level-0 positions of gated tracked obs (padded)
+    tracked_valid,  # (T,)
+    points: PointTable,
+    start_indices,  # (levels,) int32 — block starts in the point table
+    kf_id,  # device scalar int32
+    cam_params,
+    cam_statics,
+    levels: int = 3,
+    caps: tuple = (320, 96, 32),
+    clearance: float = 2.0,
+):
+    """Detect corners per level, gate by disparity + clearance from tracked
+    observations, back-project to anchored psi, capture 16x16 source patches,
+    and write all blocks into the point table — ONE device program per new
+    keyframe (parity: addMorePoints, stereo_frontend.cpp:706-823).
+
+    Returns (new_points_table, per-level dict of host-fetchable payloads).
+    """
+    payloads = []
+    offs = jnp.asarray(_patch_offsets(SOURCE_PATCH))
+    for l in range(levels):
+        cap = caps[l]
+        focal, ppx, ppy, baseline = cam_params[l]
+        uv, score, valid = detect_corners_grid(
+            pyr[l], 10.0 / 255.0, 3, 3, -(-cap // 9)
+        )
+        s = jnp.float32(2**l)
+        uv0 = (uv + 0.5) * s - 0.5
+        dval, dok = nearest_sample(disp, uv0)
+        ok = valid & dok & (dval > 0.5)
+        # clearance vs tracked obs (quadtree-gated 2px in the reference)
+        d2 = jnp.sum(
+            (uv0[:, None, :] - tracked_uv0[None, :, :]) ** 2, axis=-1
+        )
+        d2 = jnp.where(tracked_valid[None, :], d2, jnp.inf)
+        min_d2 = jnp.min(d2, axis=-1)
+        cl = clearance * s
+        ok = ok & (min_d2 > cl * cl)
+        # top-cap by score among ok
+        rank_score = jnp.where(ok, score, -1.0)
+        top_idx = jnp.argsort(-rank_score)[:cap]
+        uv_k = uv[top_idx]
+        uv0_k = uv0[top_idx]
+        d_k = dval[top_idx]
+        ok_k = ok[top_idx] & (rank_score[top_idx] > 0)
+
+        # psi in the new keyframe frame (level camera back-projection)
+        ppx_l = (ppx + 0.5) / s - 0.5
+        ppy_l = (ppy + 0.5) / s - 0.5
+        f_l = focal / s
+        d_safe = jnp.where(ok_k, d_k, 1.0)
+        z = focal * baseline / d_safe
+        x = (uv_k[:, 0] - ppx_l) / f_l * z
+        y = (uv_k[:, 1] - ppy_l) / f_l * z
+        psi = jnp.stack([x / z, y / z, 1.0 / z], axis=-1)
+
+        coords = uv_k[:, None, :] + offs[None, :, :]
+        pvals, p_ok = bilinear_sample(pyr[l], coords)
+        ok_k = ok_k & jnp.all(p_ok, axis=-1)
+        patches = pvals.reshape(-1, SOURCE_PATCH, SOURCE_PATCH)
+
+        uvu0 = jnp.stack(
+            [uv0_k[:, 0], uv0_k[:, 1], uv0_k[:, 0] - d_k], axis=-1
+        )
+        points = points.insert_block(
+            start_indices[l], psi, kf_id,
+            jnp.full((cap,), l, jnp.int32), patches, uv0_k, ok_k,
+        )
+        payloads.append({"psi": psi, "uvu0": uvu0, "ok": ok_k})
+    return points, payloads

@@ -14,6 +14,7 @@ one einsum. Invalid observations are masked (weight 0), keeping shapes static.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -160,6 +161,10 @@ def motion_only_ba(
 motion_only_ba_jit = jax.jit(motion_only_ba, static_argnames=("huber_delta",))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("huber_delta", "reject_thresh", "rounds"),
+)
 def motion_only_ba_robust(
     cam: StereoCamera,
     T_init: SE3,

@@ -107,61 +107,66 @@ def _normal_equations(cam, img, dx_img, dy_img, R, t, xyz_ref, i_ref, valid):
     J = jnp.where(in_frame[..., None], J, 0.0)
     H = jnp.einsum("ni,nj->ij", J, J, preferred_element_type=jnp.float32)
     b = jnp.einsum("ni,n->i", J, res, preferred_element_type=jnp.float32)
-    return H, b
+    chi2 = jnp.sum(res * res)
+    return H, b, chi2
 
 
 def _lm_level(cam, img, dx_img, dy_img, xyz_ref, i_ref, valid, R0, t0):
-    """Run the LM loop for one pyramid level entirely on device."""
-    chi2_0 = _chi2(cam, img, R0, t0, xyz_ref, i_ref, valid)
+    """Run the LM loop for one pyramid level entirely on device.
+
+    Deferred-acceptance formulation: ONE residual/Jacobian pass per
+    iteration. The reference evaluates residuals twice per LM step (build
+    H/b, then re-evaluate chi2 at the candidate, dense_tracking.cpp:62-193);
+    here each iteration linearizes at the CANDIDATE state and compares its
+    chi2 with the incumbent's — rejected steps roll back to the stored
+    incumbent H/b (36 floats) instead of resampling the image. Halves the
+    dominant cost (bilinear sampling of ~250k points).
+    """
+    H0, b0, chi2_0 = _normal_equations(
+        cam, img, dx_img, dy_img, R0, t0, xyz_ref, i_ref, valid
+    )
 
     def cond(state):
-        R, t, chi2, mu, nu, trial, it, stop = state
+        (R, t, H, b, chi2, mu, nu, trial, it, stop) = state
         return jnp.logical_and(it < MAX_ITERS, jnp.logical_not(stop))
 
     def body(state):
-        R, t, chi2, mu, nu, trial, it, stop = state
-        H, b = _normal_equations(
-            cam, img, dx_img, dy_img, R, t, xyz_ref, i_ref, valid
-        )
-        # multiplicative damping (dense_tracking.cpp:131 GPU path)
-        Hd = H + mu * jnp.diag(jnp.diag(H))
-        # tiny 6x6 solve on device; regularize in case of rank deficiency
-        Hd = Hd + 1e-12 * jnp.eye(6, dtype=H.dtype)
+        (R, t, H, b, chi2, mu, nu, trial, it, stop) = state
+        # step from the incumbent's normal equations with current damping
+        Hd = H + mu * jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(6, dtype=H.dtype)
         x = jax.scipy.linalg.solve(Hd, -b, assume_a="pos")
         x = jnp.where(jnp.isfinite(x), x, 0.0)
         T_new = SE3.exp(x) @ SE3(R, t)
-        new_chi2 = _chi2(cam, img, T_new.R, T_new.t, xyz_ref, i_ref, valid)
+        # single pass: candidate residuals give BOTH chi2 and the next H/b
+        H_new, b_new, new_chi2 = _normal_equations(
+            cam, img, dx_img, dy_img, T_new.R, T_new.t, xyz_ref, i_ref, valid
+        )
         rho = chi2 - new_chi2
 
         accept = rho > 0
         stop_acc = jnp.max(jnp.abs(x)) <= 1e-10
         mu_acc = mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        mu_rej = mu * nu
         trial_new = jnp.where(accept, 0, trial + 1)
-        stop_rej = trial_new >= MAX_TRIALS
-
-        R_n = jnp.where(accept, T_new.R, R)
-        t_n = jnp.where(accept, T_new.t, t)
-        chi2_n = jnp.where(accept, new_chi2, chi2)
-        mu_n = jnp.where(accept, mu_acc, mu_rej)
-        nu_n = jnp.where(accept, 2.0, nu * 2.0)
-        stop_n = jnp.where(accept, stop_acc, stop_rej)
-        # outer-iteration counter advances only on acceptance (the reference's
-        # inner do/while retries with increased mu within the same i).
-        it_n = jnp.where(accept, it + 1, it)
-        return (R_n, t_n, chi2_n, mu_n, nu_n, trial_new, it_n, stop_n)
+        return (
+            jnp.where(accept, T_new.R, R),
+            jnp.where(accept, T_new.t, t),
+            jnp.where(accept, H_new, H),
+            jnp.where(accept, b_new, b),
+            jnp.where(accept, new_chi2, chi2),
+            jnp.where(accept, mu_acc, mu * nu),
+            jnp.where(accept, 2.0, nu * 2.0),
+            trial_new,
+            jnp.where(accept, it + 1, it),
+            jnp.where(accept, stop_acc, trial_new >= MAX_TRIALS),
+        )
 
     init = (
-        R0,
-        t0,
-        chi2_0,
-        jnp.float32(0.01),
-        jnp.float32(2.0),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.bool_(False),
+        R0, t0, H0, b0, chi2_0,
+        jnp.float32(0.01), jnp.float32(2.0),
+        jnp.int32(0), jnp.int32(0), jnp.bool_(False),
     )
-    R, t, chi2, _, _, _, it, _ = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(cond, body, init)
+    R, t, chi2, it = out[0], out[1], out[4], out[8]
     return R, t, chi2, it
 
 

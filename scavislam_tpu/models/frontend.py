@@ -169,7 +169,9 @@ class StereoFrontend:
         h, w = shape
         clouds, intens, valids = [], [], []
         for l in range(self.levels):
-            n = (h // (2**l)) * (w // (2**l))
+            sub = 2 if l == 0 else 1  # DENSE_STRIDE_L0 in frontend_step
+            step = (2**l) * sub
+            n = -(-h // step) * -(-w // step)
             clouds.append(jnp.zeros((n, 3), jnp.float32))
             intens.append(jnp.zeros((n,), jnp.float32))
             valids.append(jnp.zeros((n,), bool))
@@ -218,14 +220,18 @@ class StereoFrontend:
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
 
-        # ---- the ONE host fetch per frame
-        fetched = jax.device_get(
-            (out.R_cw, out.t_cw, out.R_cak, out.t_cak, out.gate,
-             out.obs_uvu, out.n_matched, out.n_gated, out.quad_counts,
-             out.t_norm, out.mean_track_len)
-        )
-        (R_cw, t_cw, R_cak, t_cak, gate, obs_all, n_matched, n_gated,
-         quad_counts, t_norm, mean_track_len) = fetched
+        # ---- the ONE host fetch per frame (single packed array — separate
+        # small fetches cost a tunnel round-trip EACH)
+        C = CAND_CAP
+        pk = np.asarray(out.packed)
+        R_cw = pk[0:9].reshape(3, 3)
+        t_cw = pk[9:12]
+        R_cak = pk[12:21].reshape(3, 3)
+        t_cak = pk[21:24]
+        n_matched, n_gated, t_norm, mean_track_len = pk[24:28]
+        quad_counts = pk[30:34]
+        gate = pk[34:34 + C] > 0.5
+        obs_all = pk[34 + 2 * C: 34 + 5 * C].reshape(C, 3)
 
         if int(n_matched) < MIN_TRACK_OBS or int(n_gated) < MIN_TRACK_OBS:
             return False, False

@@ -42,12 +42,44 @@ from scavislam_tpu.ops.image import (
     sobel_xy,
 )
 from scavislam_tpu.ops.patches import PATCH, _patch_offsets, affine_from_geometry
+import numpy as np
+
+
+def _patch_offsets_int(size: int):
+    """Integer offsets -size//2 .. size//2-1 (the reference's patch
+    alignment; integer corners + integer offsets = pure gather, no bilinear)."""
+    r = np.arange(size, dtype=np.float32) - size // 2
+    ou, ov = np.meshgrid(r, r)
+    return np.stack([ou.reshape(-1), ov.reshape(-1)], axis=-1)
+
+
+def _extract_bucket_patches(img, buckets_uv, buckets_valid):
+    """8x8 patches at INTEGER bucket-corner positions via one flat gather:
+    (cy, cx, K, 64). Replaces per-candidate bilinear re-sampling (the
+    dominant cost of the match stage: 3.5M bilinear samples -> 786k integer
+    gathers per level)."""
+    h, w = img.shape
+    cy, cx, K, _ = buckets_uv.shape
+    offs = jnp.asarray(_patch_offsets_int(PATCH))  # (64, 2)
+    u0 = buckets_uv[..., 0].astype(jnp.int32)[..., None] + offs[:, 0].astype(jnp.int32)
+    v0 = buckets_uv[..., 1].astype(jnp.int32)[..., None] + offs[:, 1].astype(jnp.int32)
+    ok = (
+        (u0 >= 0) & (u0 < w) & (v0 >= 0) & (v0 < h)
+    ).all(axis=-1) & buckets_valid
+    u0 = jnp.clip(u0, 0, w - 1)
+    v0 = jnp.clip(v0, 0, h - 1)
+    vals = jnp.take(img.reshape(-1), v0 * w + u0)  # (cy, cx, K, 64)
+    return vals, ok
 from scavislam_tpu.ops.stereo import block_matching_disparity
 from scavislam_tpu.core.camera import StereoCamera
 
 
 class FrontendStepOut(NamedTuple):
-    # small host-fetched outputs
+    # `packed` is THE one host-fetched array per frame: every scalar/mask the
+    # host policy needs, concatenated into a single f32 vector — fetching N
+    # separate small arrays costs N round-trips on a remote-chip link
+    # (measured ~360 ms each over the axon tunnel vs ~8 ms for one array).
+    packed: jnp.ndarray
     R_cw: jnp.ndarray
     t_cw: jnp.ndarray
     R_cak: jnp.ndarray  # T_cur_from_actkey
@@ -74,6 +106,7 @@ class FrontendStepOut(NamedTuple):
 
 def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
                      source_patches, point_valid, buckets_uv, buckets_valid,
+                     bucket_patches, bucket_patch_ok,
                      disp0, level, zmssd_thr, search_radius):
     """Inlined guided matching for one level (same math as matcher._match_level
     but callable inside the fused step)."""
@@ -125,13 +158,14 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
         )
         / det_safe[:, None, None]
     )
-    ref_patch, warp_ok = _warp_from_source(source_patches, A_c2a)
+    ref_patch, warp_ok = _warp_from_source(
+        source_patches, A_c2a, offsets=_patch_offsets_int(PATCH)
+    )
     cand_ok = cand_ok & det_ok & warp_ok
 
-    offs = jnp.asarray(_patch_offsets(PATCH))
-    coords = c_uv[:, :, None, :] + offs[None, None, :, :]
-    cand_patches, patch_ok = bilinear_sample(img_level, coords)
-    patch_ok = jnp.all(patch_ok, axis=-1)
+    # candidate patches: row-gather from the per-level precomputed table
+    cand_patches = bucket_patches[gy, gx].reshape(N, 9 * K, 64)
+    patch_ok = bucket_patch_ok[gy, gx].reshape(N, 9 * K)
 
     a = ref_patch - jnp.mean(ref_patch, axis=-1, keepdims=True)
     b = cand_patches - jnp.mean(cand_patches, axis=-1, keepdims=True)
@@ -253,11 +287,15 @@ def frontend_step(
         )
         buckets_uv = uvb.reshape(cells_y, cells_x, 4, 2)
         buckets_valid = validb.reshape(cells_y, cells_x, 4)
+        bucket_patches, bucket_patch_ok = _extract_bucket_patches(
+            pyr[l], buckets_uv, buckets_valid
+        )
         lvl_ok = ok & (cand_levels == l)
         obs_l, m_l = _match_one_level(
             {"focal": focal, "ppx": ppx, "ppy": ppy, "size": (w_l, h_l)},
             pyr[l], R_cw, t_cw, xyz_w, R_aw, t_aw, patches, lvl_ok,
-            buckets_uv, buckets_valid, disp, l, zmssd_thr, 10.0,
+            buckets_uv, buckets_valid, bucket_patches, bucket_patch_ok,
+            disp, l, zmssd_thr, 10.0,
         )
         obs_all = jnp.where(m_l[:, None], obs_l, obs_all)
         matched_all = matched_all | m_l
@@ -310,33 +348,53 @@ def frontend_step(
     n_own = jnp.maximum(jnp.sum(own.astype(jnp.float32)), 1.0)
     mean_track_len = jnp.sum(jnp.where(own, track_len, 0.0)) / n_own
 
-    # -- 9. next frame's dense state (cloud pyramid, in actkey frame)
+    # -- 9. next frame's dense state (cloud pyramid, in actkey frame).
+    # Level 0 is subsampled by DENSE_STRIDE_L0 (the reference's CPU path
+    # samples every 4th pixel, dense_tracking.h:82; the photometric solve is
+    # massively over-determined, and halving the sample count halves the
+    # dominant bilinear-gather cost).
+    DENSE_STRIDE_L0 = 2
     clouds, valids, intens = [], [], []
     Rt = R_cak_new.T
     for level in range(levels):
         s = 2**level
+        sub = DENSE_STRIDE_L0 if level == 0 else 1
         focal, ppx, ppy, baseline = cam_params[level]
-        d_l = disp[::s, ::s]
+        d_l = disp[:: s * sub, :: s * sub]
         hh, ww = d_l.shape
-        v_idx = jnp.arange(hh, dtype=jnp.float32)[:, None]
-        u_idx = jnp.arange(ww, dtype=jnp.float32)[None, :]
+        # pixel coordinates in LEVEL-l units (stride sub within the level)
+        v_idx = jnp.arange(hh, dtype=jnp.float32)[:, None] * sub
+        u_idx = jnp.arange(ww, dtype=jnp.float32)[None, :] * sub
         valid = d_l > 0.0
         d_safe = jnp.where(valid, d_l, 1.0)
-        # depth from the level-0 disparity VALUE (x2^l baseline trick keeps
-        # f*b — hence the disparity for a given depth — invariant per level)
+        # cam_params[level] are ALREADY the level camera's (focal/2^l,
+        # scaled pp, baseline*2^l); f*b is level-invariant so the level-0
+        # disparity VALUE gives the right depth directly.
         z = focal * baseline / d_safe
-        ppx_l = (ppx + 0.5) / s - 0.5
-        ppy_l = (ppy + 0.5) / s - 0.5
-        f_l = focal / s
-        x = (u_idx - ppx_l) / f_l * z
-        y = (v_idx - ppy_l) / f_l * z
+        x = (u_idx - ppx) / focal * z
+        y = (v_idx - ppy) / focal * z
         xyz = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], -1)
         xyz_ak = jnp.einsum("ij,nj->ni", Rt, xyz - t_cak_new[None, :])
         clouds.append(xyz_ak)
         valids.append(valid.reshape(-1))
-        intens.append(pyr[level].reshape(-1))
+        intens.append(pyr[level][::sub, ::sub].reshape(-1))
 
+    packed = jnp.concatenate([
+        R_cw.reshape(-1), t_cw,                      # 0:9, 9:12
+        R_cak_new.reshape(-1), t_cak_new,            # 12:21, 21:24
+        jnp.stack([
+            n_matched.astype(jnp.float32),           # 24
+            n_gated.astype(jnp.float32),             # 25
+            t_norm, mean_track_len,                  # 26, 27
+            dense_chi2, res.chi2,                    # 28, 29
+        ]),
+        quad_counts.astype(jnp.float32),             # 30:34
+        gate.astype(jnp.float32),                    # 34:34+C
+        matched_all.astype(jnp.float32),             # +C
+        obs_all.reshape(-1),                         # +3C
+    ])
     return FrontendStepOut(
+        packed,
         R_cw, t_cw, R_cak_new, t_cak_new,
         gate, matched_all, obs_all,
         n_matched, n_gated, quad_counts, t_norm, mean_track_len,
@@ -377,7 +435,7 @@ def spawn_points_step(
     Returns (new_points_table, per-level dict of host-fetchable payloads).
     """
     payloads = []
-    offs = jnp.asarray(_patch_offsets(SOURCE_PATCH))
+    offs = jnp.asarray(_patch_offsets_int(SOURCE_PATCH))
     for l in range(levels):
         cap = caps[l]
         focal, ppx, ppy, baseline = cam_params[l]
@@ -404,14 +462,12 @@ def spawn_points_step(
         d_k = dval[top_idx]
         ok_k = ok[top_idx] & (rank_score[top_idx] > 0)
 
-        # psi in the new keyframe frame (level camera back-projection)
-        ppx_l = (ppx + 0.5) / s - 0.5
-        ppy_l = (ppy + 0.5) / s - 0.5
-        f_l = focal / s
+        # psi in the new keyframe frame; cam_params[l] are already the
+        # LEVEL camera's parameters (no extra scaling!)
         d_safe = jnp.where(ok_k, d_k, 1.0)
         z = focal * baseline / d_safe
-        x = (uv_k[:, 0] - ppx_l) / f_l * z
-        y = (uv_k[:, 1] - ppy_l) / f_l * z
+        x = (uv_k[:, 0] - ppx) / focal * z
+        y = (uv_k[:, 1] - ppy) / focal * z
         psi = jnp.stack([x / z, y / z, 1.0 / z], axis=-1)
 
         coords = uv_k[:, None, :] + offs[None, :, :]

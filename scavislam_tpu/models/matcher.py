@@ -37,6 +37,16 @@ from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.ops.image import bilinear_sample, nearest_sample
 from scavislam_tpu.ops.patches import PATCH, _patch_offsets, affine_from_geometry
 
+
+def _patch_offsets_int(size: int):
+    """Integer offsets -size//2 .. size//2-1 (reference patch alignment;
+    keeps source capture, warped sampling, and candidate extraction all on
+    the SAME physical grid — mixing the centered half-pixel grid with exact
+    pixels blurs one side of the ZMSSD and kills matches)."""
+    r = np.arange(size, dtype=np.float32) - size // 2
+    ou, ov = np.meshgrid(r, r)
+    return np.stack([ou.reshape(-1), ov.reshape(-1)], axis=-1)
+
 SOURCE_PATCH = 16  # stored per-point source patch side
 DEPTH_RATIO_MAX = 3.0  # reject depth change > 3x (matcher.cpp:99-142)
 
@@ -50,8 +60,10 @@ class MatchResult(NamedTuple):
 
 
 def capture_source_patches(img_level: jnp.ndarray, uv_level: jnp.ndarray):
-    """Extract (N, 16, 16) source patches at anchor time (axis-aligned)."""
-    offs = jnp.asarray(_patch_offsets(SOURCE_PATCH))
+    """Extract (N, 16, 16) source patches at anchor time (axis-aligned,
+    integer offsets: grid position g corresponds to physical offset
+    g - SOURCE_PATCH//2)."""
+    offs = jnp.asarray(_patch_offsets_int(SOURCE_PATCH))
     coords = uv_level[:, None, :] + offs[None, :, :]
     vals, ok = bilinear_sample(img_level, coords)
     return (
@@ -60,17 +72,38 @@ def capture_source_patches(img_level: jnp.ndarray, uv_level: jnp.ndarray):
     )
 
 
-def _warp_from_source(source: jnp.ndarray, A: jnp.ndarray):
+def _warp_from_source(source: jnp.ndarray, A: jnp.ndarray, offsets=None):
     """Sample the central 8x8 of each 16x16 source patch through affine A
     (A maps current-frame offsets to anchor-frame offsets).
 
     source: (N, 16, 16); A: (N, 2, 2) -> (N, 64)
     """
-    offs = jnp.asarray(_patch_offsets(PATCH))  # (64, 2)
-    center = (SOURCE_PATCH - 1) / 2.0
+    offs = jnp.asarray(
+        offsets if offsets is not None else _patch_offsets_int(PATCH)
+    )  # (64, 2)
+    center = float(SOURCE_PATCH // 2)
     w_offs = jnp.einsum("nij,pj->npi", A, offs)  # (N, 64, 2)
     coords = w_offs + center
-    vals, ok = jax.vmap(lambda im, c: bilinear_sample(im, c))(source, coords)
+    # flat single gather across all patches (vmap-of-gather with a batched
+    # operand lowers poorly on TPU): global index n*S*S + v*S + u.
+    n = source.shape[0]
+    S = SOURCE_PATCH
+    u = coords[..., 0]
+    v = coords[..., 1]
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, S - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, S - 2)
+    fu = u - u0
+    fv = v - v0
+    ok = (u >= 0) & (v >= 0) & (u <= S - 1) & (v <= S - 1)
+    base = (jnp.arange(n, dtype=jnp.int32) * (S * S))[:, None]
+    flat = source.reshape(-1)
+    i00 = jnp.take(flat, base + v0 * S + u0)
+    i01 = jnp.take(flat, base + v0 * S + u0 + 1)
+    i10 = jnp.take(flat, base + (v0 + 1) * S + u0)
+    i11 = jnp.take(flat, base + (v0 + 1) * S + u0 + 1)
+    vals = (i00 * (1 - fu) + i01 * fu) * (1 - fv) + (
+        i10 * (1 - fu) + i11 * fu
+    ) * fv
     return vals, jnp.all(ok, axis=-1)
 
 
@@ -172,8 +205,8 @@ def _match_level(
     ref_patch, warp_ok = _warp_from_source(source_patches, A_c2a)
     cand_ok = cand_ok & det_ok & warp_ok
 
-    # ---- candidate patches + ZMSSD
-    offs = jnp.asarray(_patch_offsets(PATCH))
+    # ---- candidate patches + ZMSSD (integer offsets, same grid as warp)
+    offs = jnp.asarray(_patch_offsets_int(PATCH))
     coords = c_uv[:, :, None, :] + offs[None, None, :, :]  # (N, M, 64, 2)
     cand_patches, patch_ok = bilinear_sample(img_level, coords)
     patch_ok = jnp.all(patch_ok, axis=-1)  # (N, M)

@@ -16,24 +16,54 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NUM_PYR_LEVELS = 3  # parity: /root/reference/scavislam/global.h:106
 
 
-def _conv2_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """2-D correlation with replicate-edge padding, NHWC-free single image."""
-    kernel = jnp.asarray(kernel)
+def _sep_filter_1d(img: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    """Small 1-D correlation along `axis` via shifted adds.
+
+    Single-channel 2-D convolutions lower terribly on TPU (the MXU wants many
+    channels; measured ~25 ms for a 5-tap blur at 512x384). A k-tap filter as
+    k static-slice shifts + fused multiply-adds is pure VPU work (~0.1 ms).
+    Replicate-edge padding.
+    """
+    taps = list(np.asarray(taps, np.float32))
+    k = len(taps)
+    r = k // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    p = jnp.pad(img, pad, mode="edge")
+    n = img.shape[axis]
+    out = None
+    for i, w in enumerate(taps):
+        if w == 0.0:
+            continue
+        sl = jax.lax.slice_in_dim(p, i, i + n, axis=axis)
+        term = sl * w
+        out = term if out is None else out + term
+    return out
+
+
+def _conv2_same(img: jnp.ndarray, kernel) -> jnp.ndarray:
+    """2-D correlation with replicate-edge padding for SMALL kernels,
+    expressed as shifted adds (see _sep_filter_1d)."""
+    kernel = np.asarray(kernel, np.float32)
     kh, kw = kernel.shape
-    pad_h, pad_w = kh // 2, kw // 2
-    padded = jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        padded[None, :, :, None],
-        kernel[:, :, None, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out[0, :, :, 0]
+    rh, rw = kh // 2, kw // 2
+    p = jnp.pad(img, ((rh, rh), (rw, rw)), mode="edge")
+    h, w = img.shape
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            wgt = float(kernel[i, j])
+            if wgt == 0.0:
+                continue
+            sl = jax.lax.slice(p, (i, j), (i + h, j + w))
+            term = sl * wgt
+            out = term if out is None else out + term
+    return out
 
 
 # OpenCV's pyrDown 5-tap Gaussian kernel (1 4 6 4 1)/16, separable.
@@ -46,8 +76,8 @@ _PYR_K = _np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=_np.float32) / 16.0
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian blur (5-tap) + 2x decimation, matching cv::pyrDown behavior."""
-    blurred = _conv2_same(img, _PYR_K[:, None])
-    blurred = _conv2_same(blurred, _PYR_K[None, :])
+    blurred = _sep_filter_1d(img, _PYR_K, axis=0)
+    blurred = _sep_filter_1d(blurred, _PYR_K, axis=1)
     return blurred[::2, ::2]
 
 
@@ -71,8 +101,10 @@ def sobel_xy(img: jnp.ndarray):
     (frame_grabber.cpp:305-333 passes the GPU DerivFilter / CPU Sobel output
     straight into the dense tracker's Jacobians).
     """
-    dx = _conv2_same(_conv2_same(img, _SOBEL_SMOOTH[:, None]), _SOBEL_DIFF[None, :])
-    dy = _conv2_same(_conv2_same(img, _SOBEL_SMOOTH[None, :]), _SOBEL_DIFF[:, None])
+    smooth_v = _sep_filter_1d(img, _SOBEL_SMOOTH, axis=0)
+    dx = _sep_filter_1d(smooth_v, _SOBEL_DIFF, axis=1)
+    smooth_h = _sep_filter_1d(img, _SOBEL_SMOOTH, axis=1)
+    dy = _sep_filter_1d(smooth_h, _SOBEL_DIFF, axis=0)
     return dx * 0.125, dy * 0.125
 
 

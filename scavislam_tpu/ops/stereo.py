@@ -123,14 +123,15 @@ def block_matching_disparity(
     tex = box_filter(jnp.abs(lf), radius) / full
     tex_ok = tex > texture_threshold
 
-    # subpixel parabola fit around the minimum
+    # subpixel parabola fit around the minimum (take_along_axis on the
+    # D axis — cheap (H,W)-sized gathers)
     bm1 = jnp.clip(best - 1, 0, num_disp - 1)
     bp1 = jnp.clip(best + 1, 0, num_disp - 1)
     h, w = left.shape
     vv = jnp.arange(h)[:, None]
     uu = jnp.arange(w)[None, :]
-    c_m = cost[bm1, vv, uu]
-    c_p = cost[bp1, vv, uu]
+    c_m = jnp.take_along_axis(cost, bm1[None], axis=0)[0]
+    c_p = jnp.take_along_axis(cost, bp1[None], axis=0)[0]
     denom = c_m + c_p - 2.0 * cmin
     interior = (best > 0) & (best < num_disp - 1) & jnp.isfinite(c_m) & jnp.isfinite(c_p)
     delta = jnp.where(
@@ -142,15 +143,22 @@ def block_matching_disparity(
 
     if lr_check:
         # right-image disparity by reusing the same cost volume: for the right
-        # image, cost_R(d)[v, u] = cost_L(d)[v, u + d]. Single gather.
-        dd = jnp.arange(num_disp)[:, None, None]
-        src = jnp.clip(uu[None, :, :] + dd, 0, w - 1)  # (D, 1, W) -> bcast
-        src = jnp.broadcast_to(src, cost.shape)
-        cost_r = jnp.take_along_axis(cost, src, axis=2)
+        # image, cost_R(d)[v, u] = cost_L(d)[v, u + d]. Static slices per d —
+        # a take_along_axis with a (D,H,W) index tensor measured ~150 ms on
+        # TPU; D shifted pads are pure data movement.
+        shifted = [
+            jnp.pad(
+                jax.lax.slice_in_dim(cost[d], d, w, axis=1),
+                ((0, 0), (0, d)),
+                constant_values=jnp.inf,
+            )
+            for d in range(num_disp)
+        ]
+        cost_r = jnp.stack(shifted, axis=0)
         best_r = jnp.argmin(cost_r, axis=0)
-        # check |d_L(u) - d_R(u - d_L)| <= 1
+        # check |d_L(u) - d_R(u - d_L)| <= 1; gather along the U axis only
         u_r = jnp.clip(uu - best, 0, w - 1)
-        d_r_at = best_r[vv, u_r]
+        d_r_at = jnp.take_along_axis(best_r, u_r, axis=1)
         lr_ok = jnp.abs(best - d_r_at) <= 1
         valid = valid & lr_ok
 

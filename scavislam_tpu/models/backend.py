@@ -85,12 +85,22 @@ class Backend:
 
         qid = self.monitor.getQueryFrameId()
         if qid is not None and qid in self.graph.vertices:
-            if self.graph.prepare_for_optimization(qid):
-                self.local_registration_stack.append(qid)
-                self.monitor.pushDrawData(self.draw_data())
-                nb = self.compute_neighborhood(qid)
-                self.monitor.pushNeighborhood(nb)
-                self.graph.optimize(num_iters=2, huber=3.0)
+            # Throttle idle re-optimization: the reference re-optimizes on
+            # EVERY neighborhood query (backend.cpp:173-189) because its
+            # backend owns a dedicated CPU core; here backend work serializes
+            # with the tracking loop on ONE device, so idle refinement runs
+            # at most every IDLE_OPT_PERIOD queries while graph-changing
+            # events (new keyframes/loops) always trigger a solve.
+            self._query_count = getattr(self, "_query_count", 0) + 1
+            dirty = getattr(self, "_graph_dirty", True)
+            if dirty or self._query_count % 8 == 0:
+                if self.graph.prepare_for_optimization(qid):
+                    self.local_registration_stack.append(qid)
+                    self.monitor.pushDrawData(self.draw_data())
+                    nb = self.compute_neighborhood(qid)
+                    self.monitor.pushNeighborhood(nb)
+                    self.graph.optimize(num_iters=2, huber=3.0)
+                    self._graph_dirty = False
             did = True
 
         if self.local_registration_stack:
@@ -116,6 +126,7 @@ class Backend:
     # -- A: keyframe insertion ------------------------------------------- #
     def add_keyframe_packet(self, pkt):
         """Parity: addKeyframeToGraph (backend.cpp:389-404)."""
+        self._graph_dirty = True
         self.keyframe_snapshots[pkt.kf_id] = {
             "pyr": pkt.pyr, "disp": pkt.disp, "T_kw": pkt.T_kw,
         }

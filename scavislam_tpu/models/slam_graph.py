@@ -51,6 +51,7 @@ from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.models.ba_solver import BAProblem, solve_ba
 
+import jax
 import jax.numpy as jnp
 
 INNER = 1
@@ -512,23 +513,28 @@ class SlamGraph:
             e_valid[n_e] = True
             n_e += 1
 
-        prob = BAProblem(
-            jnp.asarray(R), jnp.asarray(t),
-            jnp.asarray(pose_valid), jnp.asarray(pose_fixed),
-            jnp.asarray(psi), jnp.asarray(anchor_slot),
-            jnp.asarray(point_valid),
-            jnp.asarray(obs_pose), jnp.asarray(obs_point),
-            jnp.asarray(obs_uvu), jnp.asarray(obs_w), jnp.asarray(obs_valid),
-            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_R),
-            jnp.asarray(e_t), jnp.asarray(e_info), jnp.asarray(e_valid),
-        )
+        # pack the whole problem into TWO transfers (one f32, one i32) —
+        # a remote-chip link pays a round-trip PER ARRAY, and BAProblem has
+        # 18 of them.
+        fbuf = np.concatenate([
+            R.reshape(-1), t.reshape(-1),
+            pose_valid.astype(np.float32), pose_fixed.astype(np.float32),
+            psi.reshape(-1), point_valid.astype(np.float32),
+            obs_uvu.reshape(-1), obs_w, obs_valid.astype(np.float32),
+            e_R.reshape(-1), e_t.reshape(-1), e_info.reshape(-1),
+            e_valid.astype(np.float32),
+        ]).astype(np.float32)
+        ibuf = np.concatenate([
+            anchor_slot, obs_pose, obs_point, e_i, e_j
+        ]).astype(np.int32)
         cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
                       self.cam.baseline)
         import time
 
         t0 = time.perf_counter()
-        R_new, t_new, psi_new, stats = solve_ba(
-            cam_params, prob, iters=num_iters, huber=huber
+        R_new, t_new, psi_new, stats = _solve_packed(
+            cam_params, jnp.asarray(fbuf), jnp.asarray(ibuf),
+            (P, L, O, E), num_iters, huber,
         )
         R_new = np.asarray(R_new)
         t_new = np.asarray(t_new)
@@ -591,6 +597,55 @@ class SlamGraph:
                               key=lambda k: -v.neighbor_strengths[k]):
                 q.append(nbr)
         return out
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("caps", "num_iters", "huber"))
+def _solve_packed(cam_params, fbuf, ibuf, caps, num_iters, huber):
+    """Unpack the two transfer buffers into a BAProblem on device and solve."""
+    P, L, O, E = caps
+    o = 0
+
+    def take(n, shape=None):
+        nonlocal o
+        v = jax.lax.dynamic_slice_in_dim(fbuf, o, n)
+        o += n
+        return v.reshape(shape) if shape else v
+
+    R = take(P * 9, (P, 3, 3))
+    t = take(P * 3, (P, 3))
+    pose_valid = take(P) > 0.5
+    pose_fixed = take(P) > 0.5
+    psi = take(L * 3, (L, 3))
+    point_valid = take(L) > 0.5
+    obs_uvu = take(O * 3, (O, 3))
+    obs_w = take(O)
+    obs_valid = take(O) > 0.5
+    e_R = take(E * 9, (E, 3, 3))
+    e_t = take(E * 3, (E, 3))
+    e_info = take(E * 36, (E, 6, 6))
+    e_valid = take(E) > 0.5
+    oi = 0
+
+    def takei(n):
+        nonlocal oi
+        v = jax.lax.dynamic_slice_in_dim(ibuf, oi, n)
+        oi += n
+        return v
+
+    anchor_slot = takei(L)
+    obs_pose = takei(O)
+    obs_point = takei(O)
+    e_i = takei(E)
+    e_j = takei(E)
+    prob = BAProblem(
+        R, t, pose_valid, pose_fixed, psi, anchor_slot, point_valid,
+        obs_pose, obs_point, obs_uvu, obs_w, obs_valid,
+        e_i, e_j, e_R, e_t, e_info, e_valid,
+    )
+    return solve_ba(cam_params, prob, iters=num_iters, huber=huber)
 
 
 # -- small numpy SE3 helpers (host hot path avoids jax dispatch) ------------ #

@@ -385,9 +385,14 @@ class Backend:
         ]
         T_est = T_init
         matched_all = None
+        lvl_masks = [
+            jnp.asarray((levels_arr == lvl) & (ids >= 0))
+            for lvl in range(self.levels)
+        ]
         for _pass in range(2):
-            obs_all = np.zeros((CAND_CAP, 3), np.float32)
-            matched_all = np.zeros(CAND_CAP, bool)
+            # keep everything on device; ONE packed fetch per pass
+            obs_dev = jnp.zeros((CAND_CAP, 3), jnp.float32)
+            matched_dev = jnp.zeros(CAND_CAP, bool)
             for lvl in range(self.levels):
                 buckets = corner_buckets(
                     pyr[lvl],
@@ -396,7 +401,6 @@ class Backend:
                     cells_x=max(self.cams[lvl].width // 8, 4),
                     per_cell=4,
                 )
-                lvl_mask = jnp.asarray((levels_arr == lvl) & (ids >= 0))
                 res = _match_level(
                     (self.cams[lvl].focal, self.cams[lvl].pp[0],
                      self.cams[lvl].pp[1], self.cams[lvl].baseline),
@@ -404,7 +408,7 @@ class Backend:
                     pyr[lvl],
                     T_est.R, T_est.t,
                     xyz_w, R_aw, t_aw, patches,
-                    ok & lvl_mask,
+                    ok & lvl_masks[lvl],
                     buckets["uv"], buckets["valid"],
                     disp,
                     lvl,
@@ -412,27 +416,29 @@ class Backend:
                     # wide search radius on the first pass, tight on refine
                     15.0 if _pass == 0 else 6.0,
                 )
-                m = np.asarray(res.matched)
-                obs_all[m] = np.asarray(res.obs_uvu)[m]
-                matched_all |= m
-            if matched_all.sum() < 10:
-                return None, None, None, None
-            weights = jnp.asarray(
-                (0.25 ** levels_arr) * matched_all.astype(np.float32)
+                obs_dev = jnp.where(res.matched[:, None], res.obs_uvu, obs_dev)
+                matched_dev = matched_dev | res.matched
+            weights = (
+                jnp.asarray(0.25 ** levels_arr) * matched_dev
             )
             ba = motion_only_ba_robust(
-                self.cam, T_est, xyz_w, jnp.asarray(obs_all), weights,
-                jnp.asarray(matched_all),
+                self.cam, T_est, xyz_w, obs_dev, weights,
+                matched_dev,
                 reject_thresh=float(self.cfg.ui.max_reproj_error) * 2.0,
             )
             T_est = ba.T
-            resid = np.asarray(ba.residuals)
-            gate = (
-                matched_all
-                & np.asarray(ba.inlier_mask)
-                & (np.abs(resid).max(axis=-1)
+            gate_dev = (
+                matched_dev & ba.inlier_mask
+                & (jnp.max(jnp.abs(ba.residuals), axis=-1)
                    < float(self.cfg.ui.max_reproj_error) * 2.0)
             )
-            matched_all = gate
+            packed = np.asarray(jnp.concatenate(
+                [gate_dev.astype(jnp.float32), obs_dev.reshape(-1),
+                 ba.T.R.reshape(-1), ba.T.t]
+            ))
+            matched_all = packed[:CAND_CAP] > 0.5
+            obs_all = packed[CAND_CAP:CAND_CAP * 4].reshape(CAND_CAP, 3)
+            if matched_all.sum() < 10:
+                return None, None, None, None
         sel = np.flatnonzero(matched_all)
         return ids[sel], obs_all[sel], levels_arr[sel], T_est

@@ -363,18 +363,24 @@ class StereoFrontend:
             self.levels, tuple(caps),
             float(self.cfg.frontend.newpoint_clearance),
         )
-        payloads = jax.device_get(payloads)
+        payloads = np.asarray(payloads)  # single fetch
 
         all_ids, all_psi, all_lvl, all_uvu = [], [], [], []
-        for l, pl in enumerate(payloads):
-            ok = pl["ok"]
-            ids = np.arange(starts[l], starts[l] + caps[l], dtype=np.int64)
+        off = 0
+        for l, cap in enumerate(caps):
+            psi = payloads[off: off + cap * 3].reshape(cap, 3)
+            off += cap * 3
+            uvu0 = payloads[off: off + cap * 3].reshape(cap, 3)
+            off += cap * 3
+            ok = payloads[off: off + cap] > 0.5
+            off += cap
+            ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)
             self._meta_anchor[ids[ok]] = kf_id
             self._meta_level[ids[ok]] = l
             all_ids.append(ids[ok])
-            all_psi.append(pl["psi"][ok])
+            all_psi.append(psi[ok])
             all_lvl.append(np.full(int(ok.sum()), l, np.int64))
-            all_uvu.append(pl["uvu0"][ok])
+            all_uvu.append(uvu0[ok])
         return (
             np.concatenate(all_ids),
             np.concatenate(all_psi),

@@ -482,5 +482,10 @@ def spawn_points_step(
             start_indices[l], psi, kf_id,
             jnp.full((cap,), l, jnp.int32), patches, uv0_k, ok_k,
         )
-        payloads.append({"psi": psi, "uvu0": uvu0, "ok": ok_k})
-    return points, payloads
+        payloads.append(
+            jnp.concatenate(
+                [psi.reshape(-1), uvu0.reshape(-1), ok_k.astype(jnp.float32)]
+            )
+        )
+    # ONE packed payload array (per-level fetches each cost a link round-trip)
+    return points, jnp.concatenate(payloads)

@@ -144,7 +144,10 @@ def _lm_level(cam, img, dx_img, dy_img, xyz_ref, i_ref, valid, R0, t0):
         rho = chi2 - new_chi2
 
         accept = rho > 0
-        stop_acc = jnp.max(jnp.abs(x)) <= 1e-10
+        # convergence at 1e-5 (sub-0.01-pixel effect); the reference's 1e-10
+        # (norm_max(x) <= EPS, dense_tracking.cpp:160) never fires in f32 and
+        # forces all 15 iterations even when converged after 5
+        stop_acc = jnp.max(jnp.abs(x)) <= 1e-5
         mu_acc = mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         trial_new = jnp.where(accept, 0, trial + 1)
         return (

@@ -73,6 +73,16 @@ def _extract_bucket_patches(img, buckets_uv, buckets_valid):
 from scavislam_tpu.ops.stereo import block_matching_disparity
 from scavislam_tpu.core.camera import StereoCamera
 
+import os as _os
+import jax as _jax
+
+# the fused Pallas stereo kernel runs on real TPU backends; CPU tests and
+# explicit opt-out use the XLA formulation (identical semantics)
+_USE_PALLAS_BM = (
+    _jax.default_backend() not in ("cpu",)
+    and _os.environ.get("SCAVISLAM_NO_PALLAS", "0") != "1"
+)
+
 
 class FrontendStepOut(NamedTuple):
     # `packed` is THE one host-fetched array per frame: every scalar/mask the
@@ -225,6 +235,14 @@ def frontend_step(
     # -- 2. disparity
     if use_external_disp:
         disp = external_disp
+    elif _USE_PALLAS_BM and img.shape[0] % 32 == 0:
+        from scavislam_tpu.ops.stereo_pallas import (
+            block_matching_disparity_pallas,
+        )
+
+        disp = block_matching_disparity_pallas(
+            img, right, num_disp=num_disp, radius=5
+        )
     else:
         disp = block_matching_disparity(img, right, num_disp=num_disp,
                                         radius=5)

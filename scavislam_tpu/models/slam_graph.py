@@ -536,12 +536,17 @@ class SlamGraph:
             cam_params, jnp.asarray(fbuf), jnp.asarray(ibuf),
             (P, L, O, E), num_iters, huber,
         )
-        R_new = np.asarray(R_new)
-        t_new = np.asarray(t_new)
-        psi_new = np.asarray(psi_new)
+        # ONE packed fetch for everything (each fetch is a link round-trip)
+        packed = np.asarray(jnp.concatenate([
+            R_new.reshape(-1), t_new.reshape(-1), psi_new.reshape(-1),
+            jnp.stack([stats.chi2_initial, stats.chi2_final]),
+        ]))
+        R_new = packed[: P * 9].reshape(P, 3, 3)
+        t_new = packed[P * 9: P * 12].reshape(P, 3)
+        psi_new = packed[P * 12: P * 12 + L * 3].reshape(L, 3)
         self.stats["calc_time"] = time.perf_counter() - t0
-        self.stats["chi2_init"] = float(stats.chi2_initial)
-        self.stats["chi2_final"] = float(stats.chi2_final)
+        self.stats["chi2_init"] = float(packed[-2])
+        self.stats["chi2_final"] = float(packed[-1])
 
         # write back (restoreDataFromG2o, slam_graph.cpp:1035-1080)
         for kf, i in slot_of.items():

@@ -1,0 +1,247 @@
+"""Fused Pallas TPU kernel for block-matching stereo.
+
+The XLA formulation (ops.stereo) materializes the (D, H, W) cost volume in
+HBM several times over (raw costs, box-filtered costs, counts, shifted
+right-view costs): ~250 MB of HBM traffic for a 512x384/64-disparity frame,
+measured ~65 ms on a v5e chip. This kernel keeps EVERYTHING in VMEM:
+
+- grid over row slabs (ROWS output rows per step);
+- the two prefiltered images are DMA'd slab-wise from HBM with a
+  (radius)-row halo;
+- the full per-slab cost volume (D, ROWS, W) lives in a VMEM scratch
+  (64 x 32 x 512 x 4B = 4 MB < 16 MB VMEM);
+- horizontal/vertical box filtering is static shift-adds (pure VPU);
+- argmin, uniqueness (min excluding +-1 neighbors), subpixel parabola, and
+  the right-view winner map all happen in-register before ONE (H, W) write.
+
+HBM traffic drops to 2 reads + 3 writes of (H, W) — ~3 MB.
+
+Outputs: subpixel disparity (invalid = -1), the integer winner, and the
+right-image winner map; the final left-right consistency comparison is a
+cheap (H, W) take_along_axis done by the XLA wrapper.
+
+Semantics match ops.stereo.block_matching_disparity (same prefilter, window,
+uniqueness ratio, texture threshold) except border bookkeeping: windows
+touching invalid columns are rejected via a large-constant cost rather than
+an exact finite-sample count — both reject the same interior pixels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1.0e9  # cost for invalid comparisons
+
+
+def _shift_right(x, d, fill):
+    """Shift columns right by static d (column j reads j-d), fill left."""
+    if d == 0:
+        return x
+    return jnp.concatenate(
+        [jnp.full((*x.shape[:-1], d), fill, x.dtype), x[..., :-d]], axis=-1
+    )
+
+
+def _shift_left(x, d, fill):
+    if d == 0:
+        return x
+    return jnp.concatenate(
+        [x[..., d:], jnp.full((*x.shape[:-1], d), fill, x.dtype)], axis=-1
+    )
+
+
+def _box_h(x, radius):
+    """Horizontal box sum via static shifts (invalid -> BIG propagates)."""
+    acc = x
+    for r in range(1, radius + 1):
+        acc = acc + _shift_right(x, r, BIG) + _shift_left(x, r, BIG)
+    return acc
+
+
+HALO = 8  # sublane-aligned halo (>= radius; DMA slices must be 8-row aligned)
+
+
+def _bm_kernel(
+    lf_hbm, rf_hbm, disp_ref, best_ref, bestr_ref,
+    lf_s, rf_s, vol, sem,
+    *, num_disp, radius, rows, width, uniq, tex_thr,
+):
+    i = pl.program_id(0)
+    slab = rows + 2 * HALO
+
+    # DMA the two image slabs (halo included; inputs pre-padded by HALO rows)
+    cp1 = pltpu.make_async_copy(
+        lf_hbm.at[pl.ds(i * rows, slab)], lf_s, sem.at[0]
+    )
+    cp2 = pltpu.make_async_copy(
+        rf_hbm.at[pl.ds(i * rows, slab)], rf_s, sem.at[1]
+    )
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    lf = lf_s[:, :]
+    rf = rf_s[:, :]
+    base = HALO - radius  # local row offset of the first vertical-window row
+    slab_rows = rows + 2 * HALO
+    col = jax.lax.broadcasted_iota(jnp.int32, (slab_rows, width), 1)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+
+    # ---- pass 1: fill the VMEM cost volume (box-filtered SAD per d).
+    # fori_loop (NOT an unrolled python loop — 64 unrolled iterations keep
+    # ~60 MB of temporaries live on the Mosaic stack and blow VMEM).
+    def fill(d, _):
+        rfd = pltpu.roll(rf, d, axis=1)  # dynamic lane rotate
+        diff = jnp.where(col >= d, jnp.abs(lf - rfd), BIG)
+        hsum = _box_h(diff, radius)
+        acc = hsum[base: base + rows, :]
+        for rr in range(1, 2 * radius + 1):
+            acc = acc + hsum[base + rr: base + rr + rows, :]
+        vol[pl.ds(d, 1), :, :] = acc[None]
+        return 0
+
+    jax.lax.fori_loop(0, num_disp, fill, 0)
+
+    # ---- texture measure: box sum of |lf| (center rows only)
+    at = _box_h(jnp.abs(lf), radius)
+    tex = at[base: base + rows, :]
+    for rr in range(1, 2 * radius + 1):
+        tex = tex + at[base + rr: base + rr + rows, :]
+    full = float((2 * radius + 1) ** 2)
+
+    # ---- argmin
+    def amin(d, carry):
+        best, cmin = carry
+        c = vol[pl.ds(d, 1), :, :][0]
+        take = c < cmin
+        return (jnp.where(take, d, best), jnp.where(take, c, cmin))
+
+    best, cmin = jax.lax.fori_loop(
+        0, num_disp, amin,
+        (jnp.zeros((rows, width), jnp.int32),
+         jnp.full((rows, width), BIG, jnp.float32)),
+    )
+
+    # ---- runner-up (excluding +-1), subpixel neighbors, right-view winner
+    def pass2(d, carry):
+        c2, c_m, c_p, bestr, bestr_c = carry
+        c = vol[pl.ds(d, 1), :, :][0]
+        far = jnp.abs(best - d) > 1
+        c2 = jnp.where(far & (c < c2), c, c2)
+        c_m = jnp.where(best - 1 == d, c, c_m)
+        c_p = jnp.where(best + 1 == d, c, c_p)
+        # right-view winner: candidate for right pixel u-d is cost[d][u]
+        cl = jnp.where(
+            col_c < width - d, pltpu.roll(c, -d, axis=1), BIG
+        )
+        tr = cl < bestr_c
+        bestr = jnp.where(tr, d, bestr)
+        bestr_c = jnp.where(tr, cl, bestr_c)
+        return (c2, c_m, c_p, bestr, bestr_c)
+
+    c2, c_m, c_p, bestr, bestr_c = jax.lax.fori_loop(
+        0, num_disp, pass2,
+        (jnp.full((rows, width), BIG, jnp.float32),
+         jnp.full((rows, width), BIG, jnp.float32),
+         jnp.full((rows, width), BIG, jnp.float32),
+         jnp.zeros((rows, width), jnp.int32),
+         jnp.full((rows, width), BIG, jnp.float32)),
+    )
+
+    bf = best.astype(jnp.float32)
+    denom = c_m + c_p - 2.0 * cmin
+    interior = (best > 0) & (best < num_disp - 1) & (c_m < BIG) & (c_p < BIG)
+    delta = jnp.where(
+        interior & (denom > 1e-9),
+        0.5 * (c_m - c_p) / jnp.maximum(denom, 1e-9),
+        0.0,
+    )
+    disp = bf + jnp.clip(delta, -0.5, 0.5)
+
+    valid = (
+        (cmin < 1e4)
+        & (cmin * uniq <= c2)
+        & (tex / full > tex_thr)
+        & (best > 0)
+    )
+    disp_ref[:, :] = jnp.where(valid, disp, -1.0)
+    best_ref[:, :] = best
+    bestr_ref[:, :] = bestr
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_disp", "radius", "rows", "uniqueness_ratio",
+                     "texture_threshold", "interpret"),
+)
+def block_matching_disparity_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disp: int = 64,
+    radius: int = 5,
+    rows: int = 32,
+    uniqueness_ratio: float = 1.10,
+    texture_threshold: float = 0.01,
+    interpret: bool = False,
+):
+    """Drop-in Pallas replacement for ops.stereo.block_matching_disparity
+    (prefiltered SAD; see module docstring for the fusion strategy)."""
+    from scavislam_tpu.ops.stereo import _sobel_x_prefilter
+
+    h, w = left.shape
+    assert h % rows == 0, "image height must be a multiple of the slab size"
+    lf = _sobel_x_prefilter(left)
+    rf = _sobel_x_prefilter(right)
+    # pad by HALO rows top/bottom so every slab has an 8-aligned halo
+    from scavislam_tpu.ops.stereo_pallas import HALO as _H
+    lf_p = jnp.pad(lf, ((_H, _H), (0, 0)))
+    rf_p = jnp.pad(rf, ((_H, _H), (0, 0)))
+
+    grid = h // rows
+    kernel = partial(
+        _bm_kernel,
+        num_disp=num_disp, radius=radius, rows=rows, width=w,
+        uniq=uniqueness_ratio, tex_thr=texture_threshold,
+    )
+    disp, best, bestr = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * HALO, w), jnp.float32),
+            pltpu.VMEM((rows + 2 * HALO, w), jnp.float32),
+            pltpu.VMEM((num_disp, rows, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(lf_p, rf_p)
+
+    # left-right consistency: one cheap (H, W) gather in XLA
+    uu = jnp.arange(w)[None, :]
+    u_r = jnp.clip(uu - best, 0, w - 1)
+    d_r_at = jnp.take_along_axis(bestr, u_r, axis=1)
+    lr_ok = jnp.abs(best - d_r_at) <= 1
+    return jnp.where(lr_ok, disp, -1.0)

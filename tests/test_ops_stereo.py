@@ -47,3 +47,34 @@ class TestBlockMatching:
         flat_r = jnp.full((96, 128), 0.5, jnp.float32)
         d = block_matching_disparity(flat_l, flat_r, num_disp=32)
         assert (np.asarray(d) <= 0).all()
+
+
+class TestPallasKernel:
+    def test_interpret_matches_xla(self, pair):
+        """The fused Pallas kernel (interpret mode on CPU) must agree with
+        the XLA formulation."""
+        import numpy as np
+
+        from scavislam_tpu.ops.stereo_pallas import (
+            block_matching_disparity_pallas,
+        )
+
+        left, right, gt = pair
+        dp = np.asarray(
+            block_matching_disparity_pallas(
+                left, right, num_disp=32, radius=5, interpret=True
+            )
+        )
+        dx = np.asarray(
+            block_matching_disparity(left, right, num_disp=32, radius=5)
+        )
+        both = (dp > 0) & (dx > 0)
+        assert both.mean() > 0.5
+        agree = np.abs(dp[both] - dx[both]) < 1.0
+        assert agree.mean() > 0.97, agree.mean()
+        # and both track ground truth
+        g = np.asarray(gt)
+        m = both & (g > 1) & (g < 31)
+        if m.sum() > 100:
+            err = np.abs(dp[m] - g[m])
+            assert np.median(err) < 0.5

@@ -50,7 +50,8 @@ def main():
     # threaded: the backend runs in its own thread like the reference
     # (stereo_slam.cpp:195-196); the measured rate is the main tracking
     # loop's, exactly what the reference's on-screen FPS reports.
-    system = SlamSystem(cam, cfg, threaded=True, enable_loop_closure=False)
+    system = SlamSystem(cam, cfg, threaded=True, enable_loop_closure=False,
+                        pipelined=True)
 
     # ---- warmup: compile EVERY jit path before timing. A separate throwaway
     # system with a tiny parallax threshold forces keyframe drops (spawn +

@@ -132,6 +132,13 @@ class StereoFrontend:
         self._tracked_obs = np.zeros((0, 3), np.float32)
         self._tracked_levels = np.zeros((0,), np.int64)
 
+        # pipelined mode state: device-resident pose chain + in-flight frame
+        self._cand_np = None
+        self._cand_dev = None
+        self._dev_R_cak = None  # device arrays chaining T_cur_from_actkey
+        self._dev_t_cak = None
+        self._pending = None  # (frame_id, cand_ids_np, FrontendStepOut)
+
     # -- public pose accessors ------------------------------------------- #
     @property
     def T_cur_from_actkey(self) -> SE3:
@@ -141,6 +148,14 @@ class StereoFrontend:
         return SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
 
     # -- frame processing -------------------------------------------------- #
+    def _cand_device(self, cand_ids):
+        """Upload candidate ids only when they changed (the upload is a
+        full link round-trip)."""
+        if self._cand_np is None or not np.array_equal(self._cand_np, cand_ids):
+            self._cand_np = cand_ids.copy()
+            self._cand_dev = jnp.asarray(cand_ids, jnp.int32)
+        return self._cand_dev
+
     def _run_step(self, frame, cand_ids):
         left = jnp.asarray(frame["left"])
         right = (
@@ -153,17 +168,25 @@ class StereoFrontend:
             ext = frame["disp_gt"]
         if ext is None:
             ext = jnp.zeros_like(left)
-        return frontend_step(
+        # device pose-chain: reuse last step's device outputs when available
+        R_cak = (self._dev_R_cak if self._dev_R_cak is not None
+                 else jnp.asarray(self._R_cak))
+        t_cak = (self._dev_t_cak if self._dev_t_cak is not None
+                 else jnp.asarray(self._t_cak))
+        out = frontend_step(
             left, right, jnp.asarray(ext),
             self._prev_clouds, self._prev_intens, self._prev_valids,
-            jnp.asarray(self._R_cak), jnp.asarray(self._t_cak),
+            R_cak, t_cak,
             jnp.int32(max(self.actkey_id, 0)),
             self.poses, self.points,
-            jnp.asarray(cand_ids, jnp.int32),
+            self._cand_device(cand_ids),
             self._cam_params, self._cam_statics,
             self.levels, self._num_disp, bool(use_ext),
             float(self.cfg.ui.max_reproj_error), 0.18,
         )
+        self._dev_R_cak = out.R_cak
+        self._dev_t_cak = out.t_cak
+        return out
 
     def _empty_prev_state(self, shape):
         h, w = shape
@@ -263,6 +286,78 @@ class StereoFrontend:
         self._prev_valids = out.cloud_valids
         self._prev_intens = out.intens
 
+    # -- pipelined mode ------------------------------------------------------ #
+    def process_frame_pipelined(self, frame: dict):
+        """Dispatch this frame, then consume the PREVIOUS frame's results
+        (fetch + keyframe policy). The device pose chain advances without
+        waiting for the host, so the link round-trip and the host policy
+        overlap the next frame's device execution. Keyframe decisions lag one
+        frame relative to the synchronous mode (the reference creates the
+        keyframe within the same processFrame; one camera period of extra
+        parallax is well inside its own thresholds).
+
+        Returns (success, dropped) for the PREVIOUS frame, or None if this is
+        the first pipelined frame (nothing to consume yet)."""
+        self.frame_id = frame.get("frame_id", self.frame_id + 1)
+        cand_ids = self._collect_candidates()
+        out = self._run_step(frame, cand_ids)
+        prev = self._pending
+        self._pending = (self.frame_id, cand_ids, out)
+        self._roll(out)
+        if prev is None:
+            return None
+        return self._consume(*prev)
+
+    def flush_pipeline(self):
+        """Consume the in-flight frame (end of sequence)."""
+        if self._pending is None:
+            return None
+        prev = self._pending
+        self._pending = None
+        return self._consume(*prev)
+
+    def _consume(self, frame_id, cand_ids, out: FrontendStepOut):
+        C = CAND_CAP
+        pk = np.asarray(out.packed)
+        R_cw = pk[0:9].reshape(3, 3)
+        t_cw = pk[9:12]
+        R_cak = pk[12:21].reshape(3, 3)
+        t_cak = pk[21:24]
+        n_matched, n_gated, t_norm, mean_track_len = pk[24:28]
+        quad_counts = pk[30:34]
+        gate = pk[34:34 + C] > 0.5
+        obs_all = pk[34 + 2 * C: 34 + 5 * C].reshape(C, 3)
+
+        if int(n_matched) < MIN_TRACK_OBS or int(n_gated) < MIN_TRACK_OBS:
+            return False, False
+        if not np.isfinite(t_cw).all():
+            return False, False
+        self._R_cw, self._t_cw = R_cw, t_cw
+        # derive the chain from the WORLD pose + the CURRENT actkey: if a
+        # keyframe/switch happened after this frame was dispatched, the
+        # fetched device chain refers to the old actkey and must be rebased.
+        Rk, tk = self.pose_np[self.actkey_id]
+        self._R_cak = (R_cw @ Rk.T).astype(np.float32)
+        self._t_cak = (t_cw - self._R_cak @ tk).astype(np.float32)
+
+        levels_arr = self._meta_level[np.clip(cand_ids, 0, MAX_POINTS - 1)]
+        self._tracked_ids = cand_ids[gate]
+        self._tracked_obs = obs_all[gate]
+        self._tracked_levels = levels_arr[gate]
+        self.draw_data.tracked_uv = obs_all[gate][:, :2]
+
+        dropped = False
+        switched = self._maybe_switch_keyframe(
+            float(np.linalg.norm(self._t_cak))
+        )
+        if not switched and self._shall_drop_keyframe(
+            quad_counts, float(np.linalg.norm(self._t_cak)),
+            float(mean_track_len),
+        ):
+            self._add_new_keyframe(out)
+            dropped = True
+        return True, dropped
+
     # -- candidate assembly ------------------------------------------------ #
     def _collect_candidates(self) -> np.ndarray:
         """actkey's points + covis neighbors' points + neighborhood list,
@@ -328,6 +423,9 @@ class StereoFrontend:
         self.actkey_id = nbr
         self._R_cak = R_cn.astype(np.float32)
         self._t_cak = t_cn.astype(np.float32)
+        self._dev_R_cak = None  # host-rebased chain: next step re-uploads
+        self._dev_t_cak = None
+        self._cand_np = None
         return True
 
     # -- keyframe creation ------------------------------------------------- #
@@ -426,6 +524,9 @@ class StereoFrontend:
         self.actkey_id = kf_id
         self._R_cak = np.eye(3, dtype=np.float32)
         self._t_cak = np.zeros(3, np.float32)
+        self._dev_R_cak = None
+        self._dev_t_cak = None
+        self._cand_np = None
 
     # -- backend feedback --------------------------------------------------- #
     def apply_neighborhood(self, nb):
@@ -450,6 +551,7 @@ class StereoFrontend:
         self._R_cw = (self._R_cak @ Rk).astype(np.float32)
         self._t_cw = (self._R_cak @ tk + self._t_cak).astype(np.float32)
         self.neighborhood = nb
+        self._cand_np = None  # neighborhood may add candidates
         return True
 
 

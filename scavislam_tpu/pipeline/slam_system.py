@@ -50,7 +50,7 @@ STAGES = (
 class SlamSystem:
     def __init__(self, cam: StereoCamera, cfg: Config = None,
                  threaded: bool = False, enable_loop_closure: bool = True,
-                 vocabulary=None):
+                 vocabulary=None, pipelined: bool = False):
         self.cfg = cfg or Config()
         self.cam = cam
         self.per_mon = PerformanceMonitor()
@@ -74,6 +74,10 @@ class SlamSystem:
         self.trajectory = []  # (frame_id, SE3 T_cw estimate)
         self.closed_loops = []
         self.tracking_ok = True
+        # pipelined: overlap the device step with the host fetch/policy of
+        # the previous frame (keyframe decisions lag one frame)
+        self.pipelined = pipelined
+        self._inflight_id = None
 
         if threaded:
             t_be = threading.Thread(
@@ -109,7 +113,16 @@ class SlamSystem:
         if nb is not None:
             self.frontend.apply_neighborhood(nb)
 
-        success, dropped = self.frontend.process_frame(frame)
+        if self.pipelined:
+            res = self.frontend.process_frame_pipelined(frame)
+            consumed_id = self._inflight_id
+            self._inflight_id = frame.get("frame_id", len(self.trajectory))
+            if res is None:
+                return True  # first frame in flight; nothing consumed yet
+            success, dropped = res
+        else:
+            success, dropped = self.frontend.process_frame(frame)
+            consumed_id = frame.get("frame_id", len(self.trajectory))
         if not success:
             self.tracking_ok = False
             return False
@@ -128,8 +141,7 @@ class SlamSystem:
             self._drain_workers()
 
         self.trajectory.append(
-            (frame.get("frame_id", len(self.trajectory)),
-             self.frontend._world_pose())
+            (consumed_id, self.frontend._world_pose())
         )
         return True
 
@@ -145,6 +157,12 @@ class SlamSystem:
 
     # ------------------------------------------------------------------ #
     def shutdown(self):
+        if self.pipelined:
+            res = self.frontend.flush_pipeline()
+            if res is not None and res[0]:
+                self.trajectory.append(
+                    (self._inflight_id, self.frontend._world_pose())
+                )
         self._stop.set()
         for t in self._threads:
             t.join(timeout=5.0)

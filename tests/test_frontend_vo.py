@@ -77,3 +77,31 @@ class TestVisualOdometry:
         }
         success, dropped = fe.process_frame(blank)
         assert not success
+
+
+class TestPipelinedMode:
+    def test_pipelined_matches_sync_trajectory(self):
+        """Pipelined execution (policy lag 1 frame) must track the same
+        trajectory within a small tolerance."""
+        from scavislam_tpu.pipeline.slam_system import SlamSystem
+        from scavislam_tpu.utils.config import Config as Cfg
+
+        seq = SyntheticSequence(CAM, n_frames=8, step=0.02)
+        frames = [seq.frame(i) for i in range(8)]
+
+        results = {}
+        for mode in ("sync", "pipe"):
+            sysm = SlamSystem(CAM, Cfg(), threaded=False,
+                              enable_loop_closure=False,
+                              pipelined=(mode == "pipe"))
+            sysm.process_first_frame(frames[0])
+            for f in frames[1:]:
+                assert sysm.process_frame(dict(f))
+            sysm.shutdown()
+            results[mode] = {fid: T for fid, T in sysm.trajectory}
+
+        common = set(results["sync"]) & set(results["pipe"])
+        assert len(common) >= 6
+        for fid in common:
+            d = (results["sync"][fid] @ results["pipe"][fid].inverse()).log()
+            assert float(jnp.max(jnp.abs(d))) < 5e-3, (fid, np.asarray(d))

@@ -62,39 +62,64 @@ def default_room() -> list[Plane]:
     ]
 
 
-_TEX_FREQS = np.array(
-    # (fu, fv, amp, phase0) — incommensurate frequencies at mixed orientations
-    # so the texture is locally distinctive (no quasi-periodic aliases that
-    # would make patch matching ambiguous).
-    [
-        (1.7, 1.1, 0.30, 0.0),
-        (3.9, -2.3, 0.22, 1.1),
-        (-2.9, 4.7, 0.18, 2.3),
-        (7.3, 3.1, 0.14, 3.7),
-        (-5.1, -8.3, 0.12, 0.9),
-        (11.9, -6.7, 0.10, 4.4),
-        (9.1, 13.7, 0.08, 2.8),
-        (-15.7, 10.3, 0.06, 5.5),
-        (19.3, 7.9, 0.05, 1.7),
-        (-13.1, -21.7, 0.04, 3.2),
-    ],
-    dtype=np.float32,
-)
+def closed_box() -> list[Plane]:
+    """A fully closed textured box around the origin — every viewing
+    direction hits scenery, enabling 360-degree (spin / orbit) trajectories
+    for loop-closure workloads."""
+    f32 = jnp.float32
+
+    def plane(n, off, tu, tv, ph):
+        return Plane(jnp.array(n, f32), jnp.array(off, f32),
+                     jnp.array(tu, f32), jnp.array(tv, f32),
+                     jnp.array(ph, f32))
+
+    return [
+        plane([0, 0, 1], 6.0, [1, 0, 0], [0, 1, 0], 0.0),    # front wall
+        plane([0, 0, -1], 6.0, [1, 0, 0], [0, 1, 0], 7.0),   # back wall
+        plane([1, 0, 0], 5.0, [0, 0, 1], [0, 1, 0], 23.0),   # right wall
+        plane([-1, 0, 0], 5.0, [0, 0, 1], [0, 1, 0], 31.0),  # left wall
+        plane([0, 1, 0], 1.8, [1, 0, 0], [0, 0, 1], 11.0),   # floor
+        plane([0, -1, 0], 1.8, [1, 0, 0], [0, 0, 1], 17.0),  # ceiling
+    ]
+
+
+def _hash_lattice(ix, iy, phase):
+    """Pseudo-random value in [0,1) at integer lattice points (sin hash)."""
+    h = jnp.sin(ix * 12.9898 + iy * 78.233 + phase * 37.719) * 43758.5453
+    return h - jnp.floor(h)
+
+
+def _value_noise(u, v, phase):
+    """Smoothly interpolated lattice noise — genuinely aperiodic, unlike
+    cosine gratings, whose self-similarity aliases patch matching and dense
+    tracking under rotation."""
+    iu = jnp.floor(u)
+    iv = jnp.floor(v)
+    fu = u - iu
+    fv = v - iv
+    # smoothstep weights keep the field C1 (bilinear sampling stays clean)
+    wu = fu * fu * (3.0 - 2.0 * fu)
+    wv = fv * fv * (3.0 - 2.0 * fv)
+    n00 = _hash_lattice(iu, iv, phase)
+    n01 = _hash_lattice(iu + 1.0, iv, phase)
+    n10 = _hash_lattice(iu, iv + 1.0, phase)
+    n11 = _hash_lattice(iu + 1.0, iv + 1.0, phase)
+    return (
+        (n00 * (1 - wu) + n01 * wu) * (1 - wv)
+        + (n10 * (1 - wu) + n11 * wu) * wv
+    )
 
 
 def _texture(u, v, phase):
-    """Smooth, locally distinctive procedural texture in ~[0.05, 0.95].
-
-    Band-limited (sum of incommensurate cosine gratings) so bilinear sampling
-    during rendering and tracking is well-behaved, yet aperiodic enough that
-    ZMSSD patch matching has a unique optimum.
-    """
-    val = 0.0
-    for fu, fv, amp, ph0 in _TEX_FREQS:
-        val = val + amp * jnp.cos(
-            float(fu) * u + float(fv) * v + float(ph0) + (1.0 + float(amp)) * phase
-        )
-    return 0.5 + 0.42 * val
+    """Multi-octave value noise in ~[0.05, 0.95]: band-limited (smooth
+    interpolation) yet locally distinctive at every scale."""
+    val = (
+        0.45 * _value_noise(u * 0.7, v * 0.7, phase)
+        + 0.30 * _value_noise(u * 1.9 + 31.0, v * 1.9, phase + 1.0)
+        + 0.15 * _value_noise(u * 4.3, v * 4.3 + 17.0, phase + 2.0)
+        + 0.10 * _value_noise(u * 9.1 + 5.0, v * 9.1, phase + 3.0)
+    )
+    return 0.08 + 0.84 * val
 
 
 def _render_view(planes, T_cw: SE3, cam: StereoCamera, eye_offset: float):
@@ -171,6 +196,21 @@ def make_trajectory(
         elif kind == "orbit":
             t_wc = np.array([1.2 * np.sin(s * 2.4), 0.0, 1.2 * (1 - np.cos(s * 2.4))])
             yaw = -0.5 * s
+        elif kind == "out_and_back":
+            # drive forward then return to the start (loop-closure workload)
+            total = max((n_frames - 1) * step, 1e-6)
+            half = total / 2.0
+            p = s / half if s <= half else max(total - s, 0.0) / half
+            t_wc = np.array([0.3 * np.sin(p * 1.5), 0.0, 2.2 * p])
+            yaw = 0.1 * np.sin(p * 3.0)
+        elif kind == "spin":
+            # in-place 360-degree yaw rotation (use with the closed_box
+            # scene): the revisit of the initial orientation is a pure
+            # appearance loop — frames half-way through share NO covisibility
+            # with the start.
+            t_wc = np.array([0.05 * np.sin(s * 6.28), 0.0,
+                             0.05 * (1 - np.cos(s * 6.28))])
+            yaw = 2.0 * np.pi * s
         elif kind == "still":
             t_wc = np.zeros(3)
             yaw = 0.0

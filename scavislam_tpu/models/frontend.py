@@ -135,8 +135,8 @@ class StereoFrontend:
         # pipelined mode state: device-resident pose chain + in-flight frame
         self._cand_np = None
         self._cand_dev = None
-        self._dev_R_cak = None  # device arrays chaining T_cur_from_actkey
-        self._dev_t_cak = None
+        self._dev_R_cw = None  # device arrays chaining the world pose
+        self._dev_t_cw = None
         self._pending = None  # (frame_id, cand_ids_np, FrontendStepOut)
 
     # -- public pose accessors ------------------------------------------- #
@@ -169,14 +169,16 @@ class StereoFrontend:
         if ext is None:
             ext = jnp.zeros_like(left)
         # device pose-chain: reuse last step's device outputs when available
-        R_cak = (self._dev_R_cak if self._dev_R_cak is not None
-                 else jnp.asarray(self._R_cak))
-        t_cak = (self._dev_t_cak if self._dev_t_cak is not None
-                 else jnp.asarray(self._t_cak))
+        # (invalidated when the host rebases the world pose, e.g. after a
+        # backend neighborhood update)
+        R_cw = (self._dev_R_cw if self._dev_R_cw is not None
+                else jnp.asarray(self._R_cw))
+        t_cw = (self._dev_t_cw if self._dev_t_cw is not None
+                else jnp.asarray(self._t_cw))
         out = frontend_step(
             left, right, jnp.asarray(ext),
             self._prev_clouds, self._prev_intens, self._prev_valids,
-            R_cak, t_cak,
+            R_cw, t_cw,
             jnp.int32(max(self.actkey_id, 0)),
             self.poses, self.points,
             self._cand_device(cand_ids),
@@ -184,8 +186,8 @@ class StereoFrontend:
             self.levels, self._num_disp, bool(use_ext),
             float(self.cfg.ui.max_reproj_error), 0.18,
         )
-        self._dev_R_cak = out.R_cak
-        self._dev_t_cak = out.t_cak
+        self._dev_R_cw = out.R_cw
+        self._dev_t_cw = out.t_cw
         return out
 
     def _empty_prev_state(self, shape):
@@ -423,8 +425,6 @@ class StereoFrontend:
         self.actkey_id = nbr
         self._R_cak = R_cn.astype(np.float32)
         self._t_cak = t_cn.astype(np.float32)
-        self._dev_R_cak = None  # host-rebased chain: next step re-uploads
-        self._dev_t_cak = None
         self._cand_np = None
         return True
 
@@ -524,8 +524,6 @@ class StereoFrontend:
         self.actkey_id = kf_id
         self._R_cak = np.eye(3, dtype=np.float32)
         self._t_cak = np.zeros(3, np.float32)
-        self._dev_R_cak = None
-        self._dev_t_cak = None
         self._cand_np = None
 
     # -- backend feedback --------------------------------------------------- #
@@ -550,6 +548,8 @@ class StereoFrontend:
         Rk, tk = self.pose_np[self.actkey_id]
         self._R_cw = (self._R_cak @ Rk).astype(np.float32)
         self._t_cw = (self._R_cak @ tk + self._t_cak).astype(np.float32)
+        self._dev_R_cw = None  # world pose rebased on host: re-seed the chain
+        self._dev_t_cw = None
         self.neighborhood = nb
         self._cand_np = None  # neighborhood may add candidates
         return True

@@ -209,8 +209,8 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
 def frontend_step(
     left, right, external_disp,
     prev_clouds, prev_intens, prev_valids,
-    R_prev_cak, t_prev_cak,  # T_cur_from_actkey estimate (last frame's)
-    actkey_id,  # device scalar int; actkey pose is read from the table
+    R_cw_prev, t_cw_prev,  # previous frame's world pose (chain seed)
+    actkey_id,  # device scalar int (keyframe-policy statistics only)
     poses: PoseTable,
     points: PointTable,
     cand_ids,  # (C,) int32, -1 padded
@@ -247,28 +247,35 @@ def frontend_step(
         disp = block_matching_disparity(img, right, num_disp=num_disp,
                                         radius=5)
 
-    # actkey pose from the device table (no host gather)
+    # actkey pose from the device table (keyframe-policy statistics only)
     R_akw = poses.R[actkey_id]
     t_akw = poses.t[actkey_id]
 
-    # -- 3. dense tracking (coarse to fine)
-    R_cak, t_cak = R_prev_cak, t_prev_cak
+    # -- 3. dense tracking (coarse to fine): the reference cloud is anchored
+    # at the PREVIOUS FRAME (the reference anchors at the active keyframe and
+    # integrates T_cur_from_actkey, dense_tracking.cpp; anchoring at the
+    # previous frame is equivalent — the prior seeds matching only, and the
+    # world pose is chained through the BA-refined estimate — and it makes
+    # keyframe changes a no-op for the dense state).
+    R_d = jnp.eye(3, dtype=jnp.float32)
+    t_d = jnp.zeros(3, jnp.float32)
     dense_chi2 = jnp.float32(0.0)
     for level in range(levels - 1, -1, -1):
         focal, ppx, ppy, baseline = cam_params[level]
         cam_l = StereoCamera(
             focal, jnp.stack([ppx, ppy]), cam_statics[level], baseline
         )
-        R_cak, t_cak, chi2_l, _ = _lm_level(
+        R_d, t_d, chi2_l, _ = _lm_level(
             cam_l, pyr[level], dxs[level], dys[level],
             prev_clouds[level], prev_intens[level], prev_valids[level],
-            R_cak, t_cak,
+            R_d, t_d,
         )
         dense_chi2 = chi2_l
 
-    # -- 4. pose estimate in world frame
-    R_cw = R_cak @ R_akw
-    t_cw = jnp.einsum("ij,j->i", R_cak, t_akw) + t_cak
+    # -- 4. pose estimate in world frame: delta composed onto the previous
+    # frame's (BA-refined) world pose
+    R_cw = R_d @ R_cw_prev
+    t_cw = jnp.einsum("ij,j->i", R_d, t_cw_prev) + t_d
 
     # -- 5. materialize candidates from the device tables
     P_cap = points.psi.shape[0]
@@ -355,9 +362,8 @@ def frontend_step(
         axis=0,
     )
 
-    # T_cur_from_actkey after BA
-    R_akw_T = R_akw.T
-    R_cak_new = R_cw @ R_akw_T
+    # T_cur_from_actkey (statistics / host policy)
+    R_cak_new = R_cw @ R_akw.T
     t_cak_new = t_cw - jnp.einsum("ij,j->i", R_cak_new, t_akw)
     t_norm = jnp.linalg.norm(t_cak_new)
 
@@ -366,36 +372,11 @@ def frontend_step(
     n_own = jnp.maximum(jnp.sum(own.astype(jnp.float32)), 1.0)
     mean_track_len = jnp.sum(jnp.where(own, track_len, 0.0)) / n_own
 
-    # -- 9. next frame's dense state (cloud pyramid, in actkey frame).
-    # Level 0 is subsampled by DENSE_STRIDE_L0 (the reference's CPU path
-    # samples every 4th pixel, dense_tracking.h:82; the photometric solve is
-    # massively over-determined, and halving the sample count halves the
-    # dominant bilinear-gather cost).
-    DENSE_STRIDE_L0 = 2
-    clouds, valids, intens = [], [], []
-    Rt = R_cak_new.T
-    for level in range(levels):
-        s = 2**level
-        sub = DENSE_STRIDE_L0 if level == 0 else 1
-        focal, ppx, ppy, baseline = cam_params[level]
-        d_l = disp[:: s * sub, :: s * sub]
-        hh, ww = d_l.shape
-        # pixel coordinates in LEVEL-l units (stride sub within the level)
-        v_idx = jnp.arange(hh, dtype=jnp.float32)[:, None] * sub
-        u_idx = jnp.arange(ww, dtype=jnp.float32)[None, :] * sub
-        valid = d_l > 0.0
-        d_safe = jnp.where(valid, d_l, 1.0)
-        # cam_params[level] are ALREADY the level camera's (focal/2^l,
-        # scaled pp, baseline*2^l); f*b is level-invariant so the level-0
-        # disparity VALUE gives the right depth directly.
-        z = focal * baseline / d_safe
-        x = (u_idx - ppx) / focal * z
-        y = (v_idx - ppy) / focal * z
-        xyz = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], -1)
-        xyz_ak = jnp.einsum("ij,nj->ni", Rt, xyz - t_cak_new[None, :])
-        clouds.append(xyz_ak)
-        valids.append(valid.reshape(-1))
-        intens.append(pyr[level][::sub, ::sub].reshape(-1))
+    # -- 9. next frame's dense state (cloud pyramid, anchored at THIS frame)
+    clouds, valids, intens = _cloud_state(
+        pyr, disp, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        cam_params, levels
+    )
 
     packed = jnp.concatenate([
         R_cw.reshape(-1), t_cw,                      # 0:9, 9:12
@@ -418,8 +399,52 @@ def frontend_step(
         n_matched, n_gated, quad_counts, t_norm, mean_track_len,
         dense_chi2, res.chi2,
         pyr, dxs, dys, disp,
-        tuple(clouds), tuple(valids), tuple(intens),
+        clouds, valids, intens,
     )
+
+
+def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels):
+    """Back-project the disparity map into the ACTKEY frame per level.
+
+    Level 0 is subsampled by DENSE_STRIDE_L0 (the reference's CPU path
+    samples every 4th pixel, dense_tracking.h:82; the photometric solve is
+    massively over-determined, and halving the sample count halves the
+    dominant bilinear-gather cost).
+    """
+    DENSE_STRIDE_L0 = 2
+    clouds, valids, intens = [], [], []
+    Rt = R_cak.T
+    for level in range(levels):
+        s = 2**level
+        sub = DENSE_STRIDE_L0 if level == 0 else 1
+        focal, ppx, ppy, baseline = cam_params[level]
+        d_l = disp[:: s * sub, :: s * sub]
+        hh, ww = d_l.shape
+        # pixel coordinates in LEVEL-l units (stride sub within the level)
+        v_idx = jnp.arange(hh, dtype=jnp.float32)[:, None] * sub
+        u_idx = jnp.arange(ww, dtype=jnp.float32)[None, :] * sub
+        valid = d_l > 0.0
+        d_safe = jnp.where(valid, d_l, 1.0)
+        # cam_params[level] are ALREADY the level camera's (focal/2^l,
+        # scaled pp, baseline*2^l); f*b is level-invariant so the level-0
+        # disparity VALUE gives the right depth directly.
+        z = focal * baseline / d_safe
+        x = (u_idx - ppx) / focal * z
+        y = (v_idx - ppy) / focal * z
+        xyz = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], -1)
+        xyz_ak = jnp.einsum("ij,nj->ni", Rt, xyz - t_cak[None, :])
+        clouds.append(xyz_ak)
+        valids.append(valid.reshape(-1))
+        intens.append(pyr[level][::sub, ::sub].reshape(-1))
+    return tuple(clouds), tuple(valids), tuple(intens)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def rebuild_cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels=3):
+    """Re-express the dense-tracking reference state relative to a NEW
+    actkey (used after keyframe creation/switch: the state produced inside
+    the frame step is anchored to the actkey AT DISPATCH TIME)."""
+    return _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels)
 
 
 # -- fused new-keyframe point spawning ---------------------------------------

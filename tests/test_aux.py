@@ -1,0 +1,196 @@
+"""Auxiliary subsystems: serialization, visualization, rectification, Sim3,
+dictionary builder, performance monitor."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import SE3, Sim3
+from scavislam_tpu.core.transforms import homography_c2_from_c1
+from scavislam_tpu.utils.perfmon import PerformanceMonitor
+
+CAM = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+
+
+class TestSim3:
+    def test_exp_log_roundtrip(self):
+        xi = jnp.asarray([0.2, -0.1, 0.3, 0.05, -0.12, 0.08, 0.15])
+        T = Sim3.exp(xi)
+        np.testing.assert_allclose(np.asarray(T.log()), np.asarray(xi),
+                                   atol=1e-5)
+
+    def test_group_ops(self):
+        a = Sim3.exp(jnp.asarray([0.1, 0.2, -0.1, 0.03, 0.05, -0.02, 0.1]))
+        b = Sim3.exp(jnp.asarray([-0.2, 0.1, 0.2, -0.04, 0.02, 0.06, -0.08]))
+        x = jnp.asarray([1.0, -2.0, 3.0])
+        np.testing.assert_allclose(
+            np.asarray((a @ b).apply(x)), np.asarray(a.apply(b.apply(x))),
+            atol=1e-5,
+        )
+        I = a @ a.inverse()
+        np.testing.assert_allclose(np.asarray(I.t), 0.0, atol=1e-6)
+        np.testing.assert_allclose(float(I.s), 1.0, atol=1e-6)
+
+
+class TestHomography:
+    def test_plane_transfer(self):
+        """x2 ~ H x1 for points on the plane."""
+        T = SE3.exp(jnp.asarray([0.1, -0.05, 0.2, 0.02, -0.03, 0.05]))
+        n = jnp.asarray([0.0, 0.0, 1.0])
+        p0 = jnp.asarray([0.3, -0.2, 4.0])  # plane z=4 in frame 1
+        H = homography_c2_from_c1(T, n, p0)
+        # a point on the plane
+        x1 = jnp.asarray([1.0, 0.5, 4.0])
+        x2 = T.apply(x1)
+        h = H @ (x1 / x1[2])
+        np.testing.assert_allclose(
+            np.asarray(h / h[2]), np.asarray(x2 / x2[2]), atol=1e-5
+        )
+
+
+class TestRectify:
+    def test_zero_distortion_identity(self):
+        from scavislam_tpu.ops.rectify import build_rectify_map
+
+        m = build_rectify_map(CAM, (0, 0, 0, 0, 0), (0, 0, 0))
+        us, vs = np.meshgrid(np.arange(256), np.arange(192))
+        np.testing.assert_allclose(m[..., 0], us, atol=1e-4)
+        np.testing.assert_allclose(m[..., 1], vs, atol=1e-4)
+
+    def test_distortion_roundtrip(self):
+        """Remapping an image through distort-then-undistort maps recovers it
+        approximately in the interior."""
+        from scavislam_tpu.ops.rectify import build_rectify_map, remap
+
+        # a map with mild radial distortion
+        m = build_rectify_map(CAM, (0.05, 0.0, 0, 0, 0), (0, 0, 0))
+        # distorted coords differ from identity away from center
+        center_err = np.abs(m[96, 128] - np.array([128, 96])).max()
+        corner_err = np.abs(m[10, 10] - np.array([10, 10])).max()
+        assert center_err < 1.0 and corner_err > 2.0
+
+    def test_rotation_shifts_image(self):
+        from scavislam_tpu.ops.rectify import build_rectify_map
+
+        m = build_rectify_map(CAM, (0, 0, 0, 0, 0), (0.0, 0.02, 0.0))
+        # small y-rotation ~ horizontal shift by f*angle
+        shift = m[96, 128, 0] - 128
+        assert abs(abs(shift) - 195.0 * 0.02) < 1.0
+
+
+class TestSerialization:
+    def test_graph_roundtrip(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_slam_graph import build_graph
+
+        from scavislam_tpu.utils.serialization import load_graph, save_graph
+
+        g, _ = build_graph(6)
+        g.prepare_for_optimization(5)
+        p = str(tmp_path / "map.npz")
+        save_graph(g, p)
+        g2 = load_graph(p, CAM)
+        assert set(g2.vertices) == set(g.vertices)
+        assert set(g2.points) == set(g.points)
+        assert set(g2.edges) == set(g.edges)
+        for k in g.vertices:
+            np.testing.assert_allclose(g2.vertices[k].R, g.vertices[k].R)
+            np.testing.assert_allclose(g2.vertices[k].t, g.vertices[k].t)
+            assert (g2.vertices[k].neighbor_strengths
+                    == g.vertices[k].neighbor_strengths)
+        for p_ in g.points:
+            np.testing.assert_allclose(g2.points[p_].psi, g.points[p_].psi)
+            assert g2.points[p_].vis_set == g.points[p_].vis_set
+        for e_ in g.edges:
+            assert (g2.edges[e_].is_marginalized()
+                    == g.edges[e_].is_marginalized())
+            if g.edges[e_].is_marginalized():
+                np.testing.assert_allclose(
+                    g2.edges[e_].Lambda, g.edges[e_].Lambda)
+        # loaded graph must optimize without error
+        assert g2.prepare_for_optimization(5)
+        g2.optimize(num_iters=1)
+
+    def test_tum_trajectory_export(self, tmp_path):
+        from scavislam_tpu.utils.serialization import save_trajectory_tum
+
+        traj = [(i, SE3.exp(jnp.asarray([0.1 * i, 0, 0, 0, 0.05 * i, 0])))
+                for i in range(5)]
+        p = str(tmp_path / "traj.txt")
+        save_trajectory_tum(traj, p)
+        rows = np.loadtxt(p)
+        assert rows.shape == (5, 8)
+        # quaternions normalized
+        np.testing.assert_allclose(
+            np.linalg.norm(rows[:, 4:8], axis=1), 1.0, atol=1e-5
+        )
+
+
+class TestVisualize:
+    def test_render_map(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_slam_graph import build_graph, gt_pose
+
+        from scavislam_tpu.apps.visualize import (
+            render_frame_overlay,
+            render_map_topdown,
+        )
+
+        g, _ = build_graph(6)
+        traj = [(i, gt_pose(i)) for i in range(6)]
+        p = str(tmp_path / "map.png")
+        img = render_map_topdown(g, trajectory=traj,
+                                 gt_poses=[gt_pose(i) for i in range(6)],
+                                 path=p)
+        assert os.path.exists(p)
+        assert img.size == (900, 900)
+
+        p2 = str(tmp_path / "frame.png")
+        render_frame_overlay(
+            np.random.rand(192, 256),
+            tracked_uv=np.array([[10.0, 20.0], [100.0, 90.0]]),
+            path=p2,
+        )
+        assert os.path.exists(p2)
+
+
+class TestDictionaryBuilder:
+    def test_end_to_end(self, tmp_path):
+        from scavislam_tpu.apps import create_dictionary as cd
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+        from PIL import Image
+
+        seq = SyntheticSequence(CAM, n_frames=3, step=0.1)
+        for i in range(3):
+            arr = (np.asarray(seq.frame(i)["left"]) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+        out = str(tmp_path / "dict.npz")
+        cd.main([str(tmp_path), "3", "32", "--out", out])
+        vocab = np.load(out)["vocab"]
+        assert vocab.shape == (32, 128)
+        np.testing.assert_allclose(
+            np.linalg.norm(vocab, axis=1), 1.0, atol=1e-3
+        )
+
+
+class TestPerfMon:
+    def test_stages_and_fps(self):
+        import time
+
+        pm = PerformanceMonitor()
+        pm.add("stage_a")
+        for _ in range(3):
+            pm.new_frame()
+            pm.start("stage_a")
+            time.sleep(0.005)
+            pm.stop("stage_a")
+        pm.new_frame()
+        s = pm.summary()
+        assert s["frames"] == 3
+        assert s["stages_ms"]["stage_a"] >= 4.0
+        assert s["fps"] > 0

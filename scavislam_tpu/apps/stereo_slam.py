@@ -47,6 +47,11 @@ def main(argv=None):
     ap.add_argument("--threaded", action="store_true",
                     help="run backend/PR in real threads (reference topology)")
     ap.add_argument("--vocabulary", help=".npz vocabulary from create_dictionary")
+    ap.add_argument("--save-map", help="save the final SLAM graph to .npz")
+    ap.add_argument("--save-traj-tum", help="export trajectory in TUM format")
+    ap.add_argument("--viz", help="render a top-down map PNG at the end")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="pipelined frame processing (1-frame policy lag)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -61,7 +66,7 @@ def main(argv=None):
     system = SlamSystem(
         cam, cfg, threaded=args.threaded,
         enable_loop_closure=not args.no_loop_closure,
-        vocabulary=vocab,
+        vocabulary=vocab, pipelined=args.pipelined,
     )
 
     gt_poses = []
@@ -114,6 +119,21 @@ def main(argv=None):
     system.shutdown()
     traj = system.export_trajectory()
     np.savetxt(args.out, traj)
+    if args.save_traj_tum:
+        from scavislam_tpu.utils.serialization import save_trajectory_tum
+
+        save_trajectory_tum(system.trajectory, args.save_traj_tum)
+    if args.save_map:
+        from scavislam_tpu.utils.serialization import save_graph
+
+        save_graph(system.backend.graph, args.save_map)
+    if args.viz:
+        from scavislam_tpu.apps.visualize import render_map_topdown
+
+        render_map_topdown(
+            system.backend.graph, trajectory=system.trajectory,
+            gt_poses=gt_poses or None, path=args.viz,
+        )
 
     summary = system.per_mon.summary()
     summary["frames_processed"] = n
@@ -121,7 +141,12 @@ def main(argv=None):
     summary["map_points"] = int(np.asarray(system.frontend.points.valid).sum())
     summary["closed_loops"] = len(system.closed_loops)
     if gt_poses:
-        summary["ate_rmse_m"] = ate_rmse(system.trajectory, gt_poses)
+        # align by frame id (pipelined mode can skip/flush entries)
+        pairs = [(fid, T) for fid, T in system.trajectory
+                 if 0 <= int(fid) < len(gt_poses)]
+        summary["ate_rmse_m"] = ate_rmse(
+            pairs, [gt_poses[int(fid)] for fid, _ in pairs]
+        )
     print(json.dumps(summary, indent=2))
     return summary
 

@@ -438,9 +438,14 @@ class StereoFrontend:
     def _spawn(self, out: FrontendStepOut, kf_id: int, tracked_obs):
         """Run the fused spawn program + host id allocation."""
         caps = NEW_PER_LEVEL[: self.levels]
+        # wrap-around recycling when the table fills: the oldest points'
+        # slots are reused (their keyframes have long scrolled out of every
+        # matching candidate set; the backend keeps its own host copies)
+        total = sum(caps)
+        if self.next_point + total > MAX_POINTS:
+            self.next_point = 0
         starts = []
         for cap in caps:
-            assert self.next_point + cap <= MAX_POINTS, "point table full"
             starts.append(self.next_point)
             self.next_point += cap
 

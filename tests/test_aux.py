@@ -194,3 +194,20 @@ class TestPerfMon:
         assert s["frames"] == 3
         assert s["stages_ms"]["stage_a"] >= 4.0
         assert s["fps"] > 0
+
+
+class TestStereoSlamCli:
+    def test_synthetic_run_with_exports(self, tmp_path):
+        from scavislam_tpu.apps import stereo_slam
+
+        out = stereo_slam.main([
+            "--synthetic", "6", "--no-loop-closure",
+            "--out", str(tmp_path / "traj.txt"),
+            "--save-map", str(tmp_path / "map.npz"),
+            "--save-traj-tum", str(tmp_path / "traj_tum.txt"),
+            "--viz", str(tmp_path / "map.png"),
+        ])
+        assert out["frames_processed"] == 6
+        assert out["ate_rmse_m"] < 0.05
+        for f in ("traj.txt", "map.npz", "traj_tum.txt", "map.png"):
+            assert os.path.exists(tmp_path / f)

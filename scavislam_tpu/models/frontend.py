@@ -157,17 +157,19 @@ class StereoFrontend:
         return self._cand_dev
 
     def _run_step(self, frame, cand_ids):
-        left = jnp.asarray(frame["left"])
-        right = (
-            jnp.asarray(frame["right"]) if "right" in frame
-            else jnp.zeros_like(left)
-        )
         ext = frame.get("disp")
         use_ext = ext is not None or frame.get("use_gt_disp", False)
         if frame.get("use_gt_disp", False):
             ext = frame["disp_gt"]
-        if ext is None:
-            ext = jnp.zeros_like(left)
+        # ONE stacked upload: (2|3, H, W)
+        left = np.asarray(frame["left"], np.float32)
+        right = np.asarray(
+            frame["right"], np.float32) if "right" in frame else (
+            np.zeros_like(left))
+        planes = [left, right]
+        if use_ext:
+            planes.append(np.asarray(ext, np.float32))
+        stacked = jnp.asarray(np.stack(planes))
         # device pose-chain: reuse last step's device outputs when available
         # (invalidated when the host rebases the world pose, e.g. after a
         # backend neighborhood update)
@@ -176,7 +178,7 @@ class StereoFrontend:
         t_cw = (self._dev_t_cw if self._dev_t_cw is not None
                 else jnp.asarray(self._t_cw))
         out = frontend_step(
-            left, right, jnp.asarray(ext),
+            stacked,
             self._prev_clouds, self._prev_intens, self._prev_valids,
             R_cw, t_cw,
             jnp.int32(max(self.actkey_id, 0)),

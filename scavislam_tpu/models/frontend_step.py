@@ -207,7 +207,9 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
     ),
 )
 def frontend_step(
-    left, right, external_disp,
+    frames_stacked,  # (2 or 3, H, W): left, right[, external disparity] —
+    # ONE upload per frame (each separate host->device transfer costs a full
+    # link round-trip)
     prev_clouds, prev_intens, prev_valids,
     R_cw_prev, t_cw_prev,  # previous frame's world pose (chain seed)
     actkey_id,  # device scalar int (keyframe-policy statistics only)
@@ -222,7 +224,12 @@ def frontend_step(
     max_reproj_err: float = 2.0,
     zmssd_thr: float = 0.18,
 ) -> FrontendStepOut:
-    # -- 1. preprocess
+    # -- 1. unpack + preprocess
+    left = frames_stacked[0]
+    right = frames_stacked[1]
+    external_disp = (
+        frames_stacked[2] if use_external_disp else frames_stacked[0]
+    )
     img = left if left.dtype == jnp.float32 else left.astype(jnp.float32) / 255.0
     pyr = build_pyramid(img, levels)
     dxs, dys = [], []

@@ -161,15 +161,26 @@ class StereoFrontend:
         use_ext = ext is not None or frame.get("use_gt_disp", False)
         if frame.get("use_gt_disp", False):
             ext = frame["disp_gt"]
-        # ONE stacked upload: (2|3, H, W)
-        left = np.asarray(frame["left"], np.float32)
-        right = np.asarray(
-            frame["right"], np.float32) if "right" in frame else (
-            np.zeros_like(left))
-        planes = [left, right]
-        if use_ext:
-            planes.append(np.asarray(ext, np.float32))
-        stacked = jnp.asarray(np.stack(planes))
+        if "stacked_dev" in frame:
+            # device-resident frames (prefetched by the IO layer — the
+            # TPU-native analogue of the reference's 50-frame RAM prefetch)
+            stacked = frame["stacked_dev"]
+        else:
+            # ONE stacked upload: (2|3, H, W); uint8 when no external
+            # disparity plane is needed (4x less tunnel traffic; the step
+            # normalizes on device)
+            left = np.asarray(frame["left"])
+            right = (np.asarray(frame["right"]) if "right" in frame
+                     else np.zeros_like(left))
+            if use_ext:
+                planes = [np.asarray(left, np.float32),
+                          np.asarray(right, np.float32),
+                          np.asarray(ext, np.float32)]
+                stacked = jnp.asarray(np.stack(planes))
+            else:
+                stacked = jnp.asarray(np.stack([
+                    _to_u8(left), _to_u8(right)
+                ]))
         # device pose-chain: reuse last step's device outputs when available
         # (invalidated when the host rebases the world pose, e.g. after a
         # backend neighborhood update)
@@ -560,6 +571,12 @@ class StereoFrontend:
         self.neighborhood = nb
         self._cand_np = None  # neighborhood may add candidates
         return True
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img
+    return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
 def pd_unique(ids: np.ndarray) -> np.ndarray:

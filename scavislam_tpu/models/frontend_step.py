@@ -224,13 +224,14 @@ def frontend_step(
     max_reproj_err: float = 2.0,
     zmssd_thr: float = 0.18,
 ) -> FrontendStepOut:
-    # -- 1. unpack + preprocess
-    left = frames_stacked[0]
-    right = frames_stacked[1]
-    external_disp = (
-        frames_stacked[2] if use_external_disp else frames_stacked[0]
-    )
-    img = left if left.dtype == jnp.float32 else left.astype(jnp.float32) / 255.0
+    # -- 1. unpack + preprocess (uint8 frames normalized on device)
+    if frames_stacked.dtype == jnp.uint8:
+        frames_f = frames_stacked.astype(jnp.float32) / 255.0
+    else:
+        frames_f = frames_stacked
+    img = frames_f[0]
+    right = frames_f[1]
+    external_disp = frames_f[2] if use_external_disp else frames_f[0]
     pyr = build_pyramid(img, levels)
     dxs, dys = [], []
     for p in pyr:

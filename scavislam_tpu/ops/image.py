@@ -22,26 +22,24 @@ NUM_PYR_LEVELS = 3  # parity: /root/reference/scavislam/global.h:106
 
 
 def _sep_filter_1d(img: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
-    """Small 1-D correlation along `axis` via shifted adds.
+    """Small 1-D correlation along `axis` via ROLLED adds.
 
-    Single-channel 2-D convolutions lower terribly on TPU (the MXU wants many
-    channels; measured ~25 ms for a 5-tap blur at 512x384). A k-tap filter as
-    k static-slice shifts + fused multiply-adds is pure VPU work (~0.1 ms).
-    Replicate-edge padding.
+    Single-channel 2-D convolutions lower terribly on TPU (the MXU wants
+    many channels; measured ~25 ms for a 5-tap blur at 512x384), and
+    pad+slice shifts force unaligned-layout copies. `jnp.roll` keeps the
+    (8,128)-tiled layout — pure VPU work. The cost: wraparound instead of
+    replicate padding within `r` pixels of the border; every consumer in
+    this pipeline already excludes a wider border (FAST: 3 px, dense
+    tracking: 2 px/level, patch matching: 4 px, stereo: its own window
+    logic), so the interior result is exact.
     """
     taps = list(np.asarray(taps, np.float32))
-    k = len(taps)
-    r = k // 2
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (r, r)
-    p = jnp.pad(img, pad, mode="edge")
-    n = img.shape[axis]
+    r = len(taps) // 2
     out = None
     for i, w in enumerate(taps):
         if w == 0.0:
             continue
-        sl = jax.lax.slice_in_dim(p, i, i + n, axis=axis)
-        term = sl * w
+        term = jnp.roll(img, r - i, axis=axis) * w
         out = term if out is None else out + term
     return out
 

@@ -1,0 +1,285 @@
+"""The five benchmark configurations of BASELINE.json.
+
+1. New College-shaped subset (~230 frames, 512x384): frontend + DWO backend,
+   no loop closure — end-to-end fps + ATE on synthetic ground truth.
+2. Loop-closure run: 360-degree spin in a closed box with place recognition.
+3. RGB-D dump replay: recorded sequence with stored float disparity
+   (dense tracking + DWO; no stereo matching).
+4. Large-window stress (inner 15 / outer 100): Schur-complement BA dominates;
+   reports solve ms/keyframe.
+5. Batched throughput: 8 parallel streams per chip (vmapped tracking core).
+
+Each config prints one JSON line. Run: python benchmarks/run_configs.py [cfg#]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+def _system(cam, cfg, **kw):
+    from scavislam_tpu.pipeline.slam_system import SlamSystem
+
+    return SlamSystem(cam, cfg, **kw)
+
+
+def _prep_frames(seq, n, device=True):
+    import jax.numpy as jnp
+
+    frames = []
+    for i in range(n):
+        f = seq.frame(i)
+        l8 = (np.clip(np.asarray(f["left"]), 0, 1) * 255 + 0.5).astype(np.uint8)
+        r8 = (np.clip(np.asarray(f["right"]), 0, 1) * 255 + 0.5).astype(np.uint8)
+        fr = {"frame_id": i, "left": l8, "right": r8, "T_cw_gt": f["T_cw_gt"]}
+        if device:
+            fr["stacked_dev"] = jnp.asarray(np.stack([l8, r8]))
+        frames.append(fr)
+    return frames
+
+
+def _run_frames(system, frames, warm=2):
+    from scavislam_tpu.pipeline.slam_system import ate_rmse
+
+    system.process_first_frame(frames[0])
+    for f in frames[1:warm + 1]:
+        system.process_frame(dict(f))
+    t0 = time.perf_counter()
+    n = 0
+    for f in frames[warm + 1:]:
+        if not system.process_frame(dict(f)):
+            break
+        n += 1
+    dt = time.perf_counter() - t0
+    system.shutdown()
+    gtmap = {f["frame_id"]: f["T_cw_gt"] for f in frames}
+    pairs = [(fid, T) for fid, T in system.trajectory if fid in gtmap]
+    ate = ate_rmse(pairs, [gtmap[fid] for fid, _ in pairs]) if pairs else -1.0
+    return n / dt if dt > 0 else 0.0, ate, system
+
+
+def config1(n=230):
+    from scavislam_tpu.apps.stereo_slam import build_camera
+    from scavislam_tpu.io.synthetic import SyntheticSequence
+    from scavislam_tpu.utils.config import Config
+
+    cfg = Config()
+    cam = build_camera(cfg)
+    seq = SyntheticSequence(cam, n_frames=n, step=0.004)
+    frames = _prep_frames(seq, n)
+    system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
+                     pipelined=True)
+    # warm every path
+    warm_cfg = dataclasses.replace(
+        cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.02))
+    w = _system(cam, warm_cfg, threaded=False, enable_loop_closure=False)
+    w.process_first_frame(frames[0])
+    for f in frames[1:6]:
+        w.process_frame(dict(f))
+    fps, ate, system = _run_frames(system, frames)
+    return {"config": 1, "metric": "newcollege_subset_fps", "value": round(fps, 2),
+            "unit": "frames/sec", "ate_rmse_m": round(ate, 4),
+            "keyframes": len(system.frontend.keyframe_map)}
+
+
+def config2(n=90):
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.io.synthetic import SyntheticSequence, closed_box
+    from scavislam_tpu.utils.config import Config
+
+    cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=dataclasses.replace(cfg.frontend, covis_thr=10),
+        ui=dataclasses.replace(cfg.ui, parallax_thr=0.25),
+        graph=dataclasses.replace(cfg.graph, inner_window=5, outer_window=20),
+    )
+    seq = SyntheticSequence(cam, n_frames=n, kind="spin",
+                            planes=closed_box(), step=1.0 / (n - 1))
+    frames = _prep_frames(seq, n)
+    system = _system(cam, cfg, threaded=True, enable_loop_closure=True)
+    system.place_recognizer.score_thr = 0.05
+    system.place_recognizer.min_inliers = 15
+    fps, ate, system = _run_frames(system, frames)
+    from scavislam_tpu.models.slam_graph import APPEARANCE, METRIC
+
+    types = [e.edge_type for e in system.backend.graph.edges.values()]
+    return {"config": 2, "metric": "loop_closure_fps", "value": round(fps, 2),
+            "unit": "frames/sec", "ate_rmse_m": round(ate, 4),
+            "loops": len(system.closed_loops),
+            "metric_edges": types.count(METRIC),
+            "appearance_edges": types.count(APPEARANCE)}
+
+
+def config3(n=60):
+    from scavislam_tpu.apps.dump_sequence import record
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.io.filegrabber import FileGrabber
+    from scavislam_tpu.io.synthetic import SyntheticSequence
+    from scavislam_tpu.utils.config import Config
+
+    cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, covis_thr=10),
+        ui=dataclasses.replace(cfg.ui, parallax_thr=0.15),
+        graph=dataclasses.replace(cfg.graph, inner_window=7, outer_window=100),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        seq = SyntheticSequence(cam, n_frames=n, step=0.01)
+        record(iter(seq), td, with_disp=True)
+        grabber = FileGrabber(td, base_pattern="img_.*", fmt="png",
+                              right_img=True, disp_img=True)
+        system = _system(cam, cfg, threaded=True, enable_loop_closure=False)
+        frames = []
+        while True:
+            f = grabber.next_frame()
+            if f is None:
+                break
+            f["T_cw_gt"] = seq.frame(f["frame_id"])["T_cw_gt"]
+            frames.append(f)
+        fps, ate, system = _run_frames(system, frames)
+    return {"config": 3, "metric": "rgbd_replay_fps", "value": round(fps, 2),
+            "unit": "frames/sec", "ate_rmse_m": round(ate, 4)}
+
+
+def config4():
+    """DWO BA solve ms/keyframe at the reference's stress window sizes."""
+    import jax.numpy as jnp
+
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.core.lie import SE3
+    from scavislam_tpu.core.transforms import psi_from_xyz
+    from scavislam_tpu.models.slam_graph import GraphPoint, SlamGraph
+
+    cam = StereoCamera.create(389.96, (254.9, 201.9), (512, 384), 0.12)
+    rng = np.random.RandomState(0)
+    g = SlamGraph(cam, covis_thr=10, inner_window_size=15,
+                  double_window_size=115)
+    n_kf, pts_per_kf = 115, 60
+    # corridor of keyframes; each anchors fresh points seen by the next 4 kfs
+    poses = [SE3(jnp.eye(3), jnp.asarray([-0.15 * i, 0.0, 0.0], jnp.float32))
+             for i in range(n_kf)]
+    pid = 0
+    g.add_first_keyframe(0, poses[0])
+    all_pts = {}
+    for i in range(n_kf):
+        # world points in front of kf i
+        xyz_w = np.stack([
+            0.15 * i + rng.uniform(-1, 1, pts_per_kf),
+            rng.uniform(-1, 1, pts_per_kf),
+            rng.uniform(3, 7, pts_per_kf),
+        ], -1).astype(np.float32)
+        new_points = []
+        for k in range(pts_per_kf):
+            xa = poses[i].apply(jnp.asarray(xyz_w[k]))
+            psi = np.asarray(psi_from_xyz(xa))
+            uvu = np.asarray(cam.map_uvu(xa))
+            new_points.append((pid, psi, 0, uvu))
+            all_pts[pid] = (i, xyz_w[k])
+            pid += 1
+        tracked = []
+        strengths = {}
+        # observe the previous 4 keyframes' points
+        for j in range(max(0, i - 4), i):
+            cnt = 0
+            for (ppid, (anch, xw)) in list(all_pts.items()):
+                if anch == j:
+                    xa = poses[i].apply(jnp.asarray(xw))
+                    if float(xa[2]) > 0.5:
+                        tracked.append(
+                            (ppid, np.asarray(cam.map_uvu(xa)), 0))
+                        cnt += 1
+            if cnt:
+                strengths[j] = cnt
+        if i == 0:
+            v = g.vertices[0]
+            for (ppid, psi, lvl, uvu) in new_points:
+                g.points[ppid] = GraphPoint(ppid, np.asarray(psi, np.float64),
+                                            0, 0, {0})
+                v.feature_table[ppid] = (np.asarray(uvu, np.float64), 0)
+        else:
+            g.add_keyframe(i, poses[i], new_points, tracked, strengths, i - 1)
+
+    assert g.prepare_for_optimization(n_kf - 1)
+    g.optimize(num_iters=2)  # compile
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g.prepare_for_optimization(n_kf - 1)
+        g.optimize(num_iters=2)
+    ms = (time.perf_counter() - t0) / reps * 1000
+    return {"config": 4, "metric": "dwo_ba_solve_ms_per_keyframe",
+            "value": round(ms, 2), "unit": "ms",
+            "window": [15, 100],
+            "active_points": len(g.active_points),
+            "chi2_final": g.stats["chi2_final"]}
+
+
+def config5(streams=8, n_obs=512, iters=50):
+    """8 parallel tracking streams per chip (vmapped core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.core.lie import SE3
+    from scavislam_tpu.parallel.multistream import _tracking_core
+
+    cam_params = (389.96, 254.9, 201.9, 0.12)
+    cam = StereoCamera.create(389.96, (254.9, 201.9), (512, 384), 0.12)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    xyz = jnp.stack(
+        [jax.random.normal(ks[0], (streams, n_obs)) * 2,
+         jax.random.normal(ks[1], (streams, n_obs)),
+         jax.random.uniform(ks[2], (streams, n_obs)) * 5 + 3], -1)
+    T_gt = [SE3.exp(jax.random.normal(jax.random.fold_in(key, i), (6,)) * 0.1)
+            for i in range(streams)]
+    obs = jnp.stack([cam.map_uvu(T.apply(xyz[i])) for i, T in enumerate(T_gt)])
+    R0 = jnp.broadcast_to(jnp.eye(3), (streams, 3, 3))
+    t0_ = jnp.zeros((streams, 3))
+    w = jnp.ones((streams, n_obs))
+    v = jnp.ones((streams, n_obs), bool)
+
+    @jax.jit
+    def step(R, t):
+        return jax.vmap(
+            lambda R_, t_, x_, o_, w_, v_: _tracking_core(
+                cam_params, R_, t_, x_, o_, w_, v_, 10)
+        )(R, t, xyz, obs, w, v)
+
+    R, t, chi = step(R0, t0_)
+    np.asarray(chi)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        R, t, chi = step(R0, t0_)
+    np.asarray(chi)
+    dt = time.perf_counter() - t0
+    solves_per_sec = streams * iters / dt
+    return {"config": 5, "metric": "batched_tracking_solves_per_sec",
+            "value": round(solves_per_sec, 1), "unit": "solves/sec",
+            "streams": streams}
+
+
+def main():
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for i in which:
+        try:
+            print(json.dumps(fns[i]()))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"config": i, "error": str(e)[:300]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
-from scavislam_tpu.models.map_store import MAX_POINTS, materialize_points
+from scavislam_tpu.models.map_store import materialize_points
 from scavislam_tpu.models.matcher import _match_level
 from scavislam_tpu.models.pose_optimizer import motion_only_ba_robust
 from scavislam_tpu.models.slam_graph import INNER, OUTER, SlamGraph

@@ -41,7 +41,7 @@ from scavislam_tpu.ops.image import (
     nearest_sample,
     sobel_xy,
 )
-from scavislam_tpu.ops.patches import PATCH, _patch_offsets, affine_from_geometry
+from scavislam_tpu.ops.patches import PATCH, affine_from_geometry
 import numpy as np
 
 

@@ -35,7 +35,7 @@ import numpy as np
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.ops.image import bilinear_sample, nearest_sample
-from scavislam_tpu.ops.patches import PATCH, _patch_offsets, affine_from_geometry
+from scavislam_tpu.ops.patches import PATCH, affine_from_geometry
 
 
 def _patch_offsets_int(size: int):

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from scavislam_tpu.core.camera import StereoCamera
-from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.models.backend import DetectedLoop
 from scavislam_tpu.ops.descriptors import compute_descriptors, match_descriptors
 from scavislam_tpu.ops.fast import detect_corners_grid

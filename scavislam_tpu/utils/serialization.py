@@ -15,10 +15,7 @@ import json
 
 import numpy as np
 
-from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.models.slam_graph import GraphEdge, GraphPoint, GraphVertex, SlamGraph
-
-import jax.numpy as jnp
 
 
 def save_graph(graph: SlamGraph, path: str):

@@ -155,61 +155,70 @@ def config3(n=60):
 
 def config4():
     """DWO BA solve ms/keyframe at the reference's stress window sizes."""
-    import jax.numpy as jnp
-
     from scavislam_tpu.core.camera import StereoCamera
-    from scavislam_tpu.core.lie import SE3
-    from scavislam_tpu.core.transforms import psi_from_xyz
     from scavislam_tpu.models.slam_graph import GraphPoint, SlamGraph
 
     cam = StereoCamera.create(389.96, (254.9, 201.9), (512, 384), 0.12)
+    f, b, px, py = 389.96, 0.12, 254.9, 201.9
     rng = np.random.RandomState(0)
     g = SlamGraph(cam, covis_thr=10, inner_window_size=15,
                   double_window_size=115)
     n_kf, pts_per_kf = 115, 60
-    # corridor of keyframes; each anchors fresh points seen by the next 4 kfs
-    poses = [SE3(jnp.eye(3), jnp.asarray([-0.15 * i, 0.0, 0.0], jnp.float32))
-             for i in range(n_kf)]
+    # corridor of keyframes (all math in numpy — per-point device calls over
+    # a remote link would dominate the build)
+    t_kw = [np.array([-0.15 * i, 0.0, 0.0]) for i in range(n_kf)]
+
+    def uvu(xc):
+        return np.stack([
+            xc[:, 0] / xc[:, 2] * f + px,
+            xc[:, 1] / xc[:, 2] * f + py,
+            (xc[:, 0] - b) / xc[:, 2] * f + px,
+        ], -1)
+
     pid = 0
-    g.add_first_keyframe(0, poses[0])
-    all_pts = {}
+    g.add_first_keyframe(0)
+    g.vertices[0].t = t_kw[0]
+    anchor_pts = {}  # kf -> (ids, xyz_w)
     for i in range(n_kf):
-        # world points in front of kf i
         xyz_w = np.stack([
             0.15 * i + rng.uniform(-1, 1, pts_per_kf),
             rng.uniform(-1, 1, pts_per_kf),
             rng.uniform(3, 7, pts_per_kf),
-        ], -1).astype(np.float32)
-        new_points = []
-        for k in range(pts_per_kf):
-            xa = poses[i].apply(jnp.asarray(xyz_w[k]))
-            psi = np.asarray(psi_from_xyz(xa))
-            uvu = np.asarray(cam.map_uvu(xa))
-            new_points.append((pid, psi, 0, uvu))
-            all_pts[pid] = (i, xyz_w[k])
-            pid += 1
-        tracked = []
-        strengths = {}
-        # observe the previous 4 keyframes' points
+        ], -1)
+        xc = xyz_w + t_kw[i]
+        obs = uvu(xc)
+        psi = np.stack([xc[:, 0] / xc[:, 2], xc[:, 1] / xc[:, 2],
+                        1.0 / xc[:, 2]], -1)
+        ids = np.arange(pid, pid + pts_per_kf)
+        pid += pts_per_kf
+        new_points = [(int(ids[k]), psi[k], 0, obs[k])
+                      for k in range(pts_per_kf)]
+        anchor_pts[i] = (ids, xyz_w)
+        tracked, strengths = [], {}
         for j in range(max(0, i - 4), i):
-            cnt = 0
-            for (ppid, (anch, xw)) in list(all_pts.items()):
-                if anch == j:
-                    xa = poses[i].apply(jnp.asarray(xw))
-                    if float(xa[2]) > 0.5:
-                        tracked.append(
-                            (ppid, np.asarray(cam.map_uvu(xa)), 0))
-                        cnt += 1
+            jids, jxyz = anchor_pts[j]
+            xc_j = jxyz + t_kw[i]
+            obs_j = uvu(xc_j)
+            vis = xc_j[:, 2] > 0.5
+            cnt = int(vis.sum())
             if cnt:
                 strengths[j] = cnt
+                tracked.extend(
+                    (int(jids[k]), obs_j[k], 0)
+                    for k in range(pts_per_kf) if vis[k]
+                )
         if i == 0:
             v = g.vertices[0]
-            for (ppid, psi, lvl, uvu) in new_points:
-                g.points[ppid] = GraphPoint(ppid, np.asarray(psi, np.float64),
+            for (ppid, ps, lvl, ob) in new_points:
+                g.points[ppid] = GraphPoint(ppid, np.asarray(ps, np.float64),
                                             0, 0, {0})
-                v.feature_table[ppid] = (np.asarray(uvu, np.float64), 0)
+                v.feature_table[ppid] = (np.asarray(ob, np.float64), 0)
         else:
-            g.add_keyframe(i, poses[i], new_points, tracked, strengths, i - 1)
+            from scavislam_tpu.core.lie import SE3
+            import jax.numpy as jnp
+
+            T = SE3(jnp.eye(3), jnp.asarray(t_kw[i], jnp.float32))
+            g.add_keyframe(i, T, new_points, tracked, strengths, i - 1)
 
     assert g.prepare_for_optimization(n_kf - 1)
     g.optimize(num_iters=2)  # compile

@@ -62,8 +62,22 @@ METRIC = 1
 APPEARANCE = 2
 
 
-def _se3_np(T: SE3):
+def _se3_np(T):
+    """Accept an SE3 (jax) or an (R, t) numpy pair."""
+    if isinstance(T, tuple):
+        return np.asarray(T[0], np.float64), np.asarray(T[1], np.float64)
     return np.asarray(T.R, np.float64), np.asarray(T.t, np.float64)
+
+
+def _compose_np(R1, t1, R2, t2):
+    """T1 * T2 in numpy."""
+    return R1 @ R2, R1 @ t2 + t1
+
+
+def _rel_np(R1, t1, R2, t2):
+    """T1 * T2^-1 in numpy."""
+    R = R1 @ R2.T
+    return R, t1 - R @ t2
 
 
 @dataclass
@@ -149,15 +163,16 @@ class SlamGraph:
         assert k not in self.edges
         self.edges[k] = GraphEdge(k[0], k[1], strength, edge_type)
 
-    def set_constraint(self, a, b, T_a_from_b: SE3, Lambda: np.ndarray):
-        """Store constraint in the ordered direction (id1_from_id2)."""
+    def set_constraint(self, a, b, T_a_from_b, Lambda: np.ndarray):
+        """Store constraint in the ordered direction (id1_from_id2).
+        ``T_a_from_b`` is a numpy (R, t) pair (host math stays off-device:
+        on a remote accelerator every eager op is a link round-trip)."""
         k = self._key(a, b)
         e = self.edges[k]
-        if a == k[0]:
-            T = T_a_from_b
-        else:
-            T = T_a_from_b.inverse()
-        e.R_1_from_2, e.t_1_from_2 = _se3_np(T)
+        R, t = _se3_np(T_a_from_b)
+        if a != k[0]:
+            R, t = R.T, -(R.T @ t)
+        e.R_1_from_2, e.t_1_from_2 = R, t
         e.Lambda = np.asarray(Lambda, np.float64)
 
     def unmarginalize(self, a, b):
@@ -166,14 +181,15 @@ class SlamGraph:
         e.t_1_from_2 = None
         e.Lambda = None
 
-    def get_constraint(self, id1, id2) -> Optional[SE3]:
-        """T_id1_from_id2 if the edge is marginalized."""
+    def get_constraint(self, id1, id2):
+        """Numpy (R, t) of T_id1_from_id2 if the edge is marginalized."""
         e = self.find_edge(id1, id2)
         if e is None or not e.is_marginalized():
             return None
-        T = SE3(jnp.asarray(e.R_1_from_2, jnp.float32),
-                jnp.asarray(e.t_1_from_2, jnp.float32))
-        return T if id1 == e.id1 else T.inverse()
+        R, t = e.R_1_from_2, e.t_1_from_2
+        if id1 == e.id1:
+            return R, t
+        return R.T, -(R.T @ t)
 
     # -- graph construction --------------------------------------------- #
     def add_first_keyframe(self, kf_id: int, T_kw: SE3 = None):
@@ -228,7 +244,7 @@ class SlamGraph:
         edges with the root temporarily teleported to its re-registered pose."""
         v = self.vertices[root_id]
         saved = (v.R.copy(), v.t.copy())
-        v.set_T(T_newroot_from_w)
+        v.R, v.t = _se3_np(T_newroot_from_w)
         for pid, uvu, level in tracked:
             if pid in self.points:
                 self.points[pid].vis_set.add(root_id)
@@ -267,7 +283,7 @@ class SlamGraph:
         if self.find_edge(root_id, loop_id) is None:
             self.insert_edge(root_id, loop_id, strength, APPEARANCE)
         saved = (v_loop.R.copy(), v_loop.t.copy())
-        v_loop.set_T(T_newloop_from_w)
+        v_loop.R, v_loop.t = _se3_np(T_newloop_from_w)
         T_c, Lam = self._compute_constraint(loop_id, root_id)
         self.set_constraint(loop_id, root_id, T_c, Lam)
         v_loop.R, v_loop.t = saved
@@ -278,8 +294,7 @@ class SlamGraph:
         T_1_from_2 from current estimates; Lambda = strength * diag(
         (350*|t|/median_depth)^2 * I3, 100^2 * I3)."""
         v1, v2 = self.vertices[id1], self.vertices[id2]
-        T1 = v1.T
-        T_1_from_2 = T1 @ v2.T.inverse()
+        R12, t12 = _rel_np(v1.R, v1.t, v2.R, v2.t)
         depths = []
         for pid in v1.feature_table:
             if pid not in v2.feature_table or pid not in self.points:
@@ -293,12 +308,11 @@ class SlamGraph:
         visibility = max(len(depths), 1)
         med = float(np.median(depths)) if depths else 1.0
         med = max(med, 1e-6)
-        t_norm = float(np.linalg.norm(np.asarray(T_1_from_2.t)))
-        norm_dist = t_norm / med
+        norm_dist = float(np.linalg.norm(t12)) / med
         Lam = np.eye(6) * visibility
         Lam[:3, :3] *= (350.0 * norm_dist) ** 2
         Lam[3:, 3:] *= 100.0**2
-        return T_1_from_2, Lam
+        return (R12, t12), Lam
 
     def _pose_of(self, kf_id):
         if kf_id in self.vertices:
@@ -361,19 +375,21 @@ class SlamGraph:
             v = self.vertices[own]
             reinit_childs = mark or own == loop_id
             if parent > -1 and (reinit_childs or own not in old_window):
-                T_rel = self._relative_pose(own, parent)
-                v.set_T(T_rel @ T_parent)
+                R_rel, t_rel = self._relative_pose(own, parent)
+                Rp, tp = T_parent
+                v.R, v.t = _compose_np(R_rel, t_rel, Rp, tp)
             for nbr in sorted(v.neighbor_strengths,
                               key=lambda k: -v.neighbor_strengths[k]):
-                q.append((nbr, own, v.T, reinit_childs))
+                q.append((nbr, own, (v.R, v.t), reinit_childs))
 
-    def _relative_pose(self, id1, id2) -> SE3:
-        """T_1_from_2 from the marginalized constraint if present, else from
-        current estimates (slam_graph.cpp:270-286)."""
+    def _relative_pose(self, id1, id2):
+        """Numpy (R, t) of T_1_from_2 from the marginalized constraint if
+        present, else from current estimates (slam_graph.cpp:270-286)."""
         T = self.get_constraint(id1, id2)
         if T is not None:
             return T
-        return self.vertices[id1].T @ self.vertices[id2].T.inverse()
+        v1, v2 = self.vertices[id1], self.vertices[id2]
+        return _rel_np(v1.R, v1.t, v2.R, v2.t)
 
     def _unmarginalize_inner(self):
         for i in self.double_window:
@@ -504,11 +520,11 @@ class SlamGraph:
                 continue
             # our BA edge stores T_j_from_i for pair (i=a, j=b);
             # edge constraint holds T_id1_from_id2 = T_a_from_b
-            T_b_from_a = self.get_constraint(b, a)
+            Rba, tba = self.get_constraint(b, a)
             e_i[n_e] = slot_of[a]
             e_j[n_e] = slot_of[b]
-            e_R[n_e] = np.asarray(T_b_from_a.R)
-            e_t[n_e] = np.asarray(T_b_from_a.t)
+            e_R[n_e] = Rba
+            e_t[n_e] = tba
             e_info[n_e] = e.Lambda
             e_valid[n_e] = True
             n_e += 1
@@ -581,10 +597,12 @@ class SlamGraph:
         while parent[chain[-1]] is not None:
             chain.append(parent[chain[-1]])
         # chain = [window vertex, ..., kf_id]; fold T_k_from_{k-1} left-to-right
-        T = self.vertices[hit].T
+        v0 = self.vertices[hit]
+        R, t = v0.R.copy(), v0.t.copy()
         for k in range(1, len(chain)):
-            T = self._relative_pose(chain[k], chain[k - 1]) @ T
-        return T
+            Rr, tr = self._relative_pose(chain[k], chain[k - 1])
+            R, t = _compose_np(Rr, tr, R, t)
+        return SE3(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
 
     def frames_in_neighborhood(self, root_id: int, max_frames: int):
         """BFS by strength limited to max_frames (slam_graph.cpp:105-140)."""

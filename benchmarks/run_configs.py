@@ -264,7 +264,7 @@ def config5(streams=8, n_obs=512, iters=50):
     def step(R, t):
         return jax.vmap(
             lambda R_, t_, x_, o_, w_, v_: _tracking_core(
-                cam_params, R_, t_, x_, o_, w_, v_, 10)
+                cam_params, R_, t_, x_, o_, w_, v_, 10, sp_axis=None)
         )(R, t, xyz, obs, w, v)
 
     R, t, chi = step(R0, t0_)
@@ -284,6 +284,10 @@ def main():
     which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for i in which:
+        if i not in fns:
+            print(json.dumps({"config": i,
+                              "error": f"unknown config (valid: {sorted(fns)})"}))
+            continue
         try:
             print(json.dumps(fns[i]()))
         except Exception as e:  # noqa: BLE001

@@ -46,9 +46,11 @@ def make_mesh(n_devices: int = None, dp: int = None):
     return Mesh(mesh_devs, ("dp", "sp"))
 
 
-def _tracking_core(cam_params, R, t, xyz_w, obs_uvu, weights, valid, iters):
+def _tracking_core(cam_params, R, t, xyz_w, obs_uvu, weights, valid, iters,
+                   sp_axis="sp"):
     """GN/LM motion-only tracking with the obs axis SHARDED: the normal
-    equations are psum-reduced over the "sp" mesh axis each iteration."""
+    equations are psum-reduced over the `sp_axis` mesh axis each iteration
+    (pass sp_axis=None for single-device / vmapped-only use)."""
     focal, ppx, ppy, baseline = cam_params
 
     def normal_eq(R, t):
@@ -77,10 +79,12 @@ def _tracking_core(cam_params, R, t, xyz_w, obs_uvu, weights, valid, iters):
         H_part = jnp.einsum("nij,nik->jk", Jw, J)
         b_part = jnp.einsum("nij,ni->j", Jw, r)
         chi_part = jnp.sum(w * s)
-        # the ICI collective: assemble the full system across "sp" shards
-        H = jax.lax.psum(H_part, "sp")
-        b = jax.lax.psum(b_part, "sp")
-        chi = jax.lax.psum(chi_part, "sp")
+        if sp_axis is None:
+            return H_part, b_part, chi_part
+        # the ICI collective: assemble the full system across the shards
+        H = jax.lax.psum(H_part, sp_axis)
+        b = jax.lax.psum(b_part, sp_axis)
+        chi = jax.lax.psum(chi_part, sp_axis)
         return H, b, chi
 
     def body(carry, _):

@@ -85,13 +85,26 @@ def _normal_equations(cam, img, dx_img, dy_img, R, t, xyz_ref, i_ref, valid):
     dx = bilinear_sample(dx_img, uv)[0]
     dy = bilinear_sample(dy_img, uv)[0]
 
-    x, y = xyz_cur[..., 0], xyz_cur[..., 1]
-    z = jnp.where(jnp.abs(xyz_cur[..., 2]) < 1e-6, 1e-6, xyz_cur[..., 2])
-    z2 = z * z
-    f = cam.focal
     # d(uv)/d(xi) rows for left-mult update (cf. core.transforms
     # frame_jac_uvu_world, specialized to the mono uv part and fused here to
     # keep it a pure vector expression).
+    j0, j1 = _proj_pose_jac(cam.focal, xyz_cur)
+    # residual jacobian: r = I_ref - I_cur(uv(T x))  =>  dr/dxi = -grad I . duv/dxi
+    J = -(dx[..., None] * j0 + dy[..., None] * j1)
+    J = jnp.where(in_frame[..., None], J, 0.0)
+    H = jnp.einsum("ni,nj->ij", J, J, preferred_element_type=jnp.float32)
+    b = jnp.einsum("ni,n->i", J, res, preferred_element_type=jnp.float32)
+    chi2 = jnp.sum(res * res)
+    return H, b, chi2
+
+
+def _proj_pose_jac(focal, xyz):
+    """Rows of d(uv)/d(xi) for a LEFT-multiplicative increment at the given
+    3-D points: (j0, j1) each (..., 6), tangent order [upsilon, omega]."""
+    x, y = xyz[..., 0], xyz[..., 1]
+    z = jnp.where(jnp.abs(xyz[..., 2]) < 1e-6, 1e-6, xyz[..., 2])
+    z2 = z * z
+    f = focal
     j0 = jnp.stack(
         [f / z, jnp.zeros_like(z), -f * x / z2,
          -f * x * y / z2, f * (1.0 + x * x / z2), -f * y / z],
@@ -102,13 +115,90 @@ def _normal_equations(cam, img, dx_img, dy_img, R, t, xyz_ref, i_ref, valid):
          -f * (1.0 + y * y / z2), f * x * y / z2, f * x / z],
         axis=-1,
     )
-    # residual jacobian: r = I_ref - I_cur(uv(T x))  =>  dr/dxi = -grad I . duv/dxi
-    J = -(dx[..., None] * j0 + dy[..., None] * j1)
-    J = jnp.where(in_frame[..., None], J, 0.0)
-    H = jnp.einsum("ni,nj->ij", J, J, preferred_element_type=jnp.float32)
-    b = jnp.einsum("ni,n->i", J, res, preferred_element_type=jnp.float32)
+    return j0, j1
+
+
+def template_jacobian(focal, xyz_ref, dx_ref, dy_ref, valid):
+    """Per-point inverse-compositional Jacobian (N, 6), computed ONCE at the
+    template (reference) frame.
+
+    The reference cloud is the reference frame's own grid pixels
+    back-projected (identity anchor), so the template gradients dx_ref/dy_ref
+    are exact integer-pixel values — no sampling. With r(d) =
+    I_ref(pi(exp(d) x)) - I_cur(pi(T x)), dr/dd at 0 = +grad(I_ref) . j(x).
+
+    TPU rationale: the forward-compositional tracker re-samples THREE images
+    (intensity + 2 gradients, 12 gathers/point) and rebuilds J every LM
+    iteration; gathers dominate (measured ~45 ms of a ~93 ms frame on v5e).
+    Precomputing J makes each iteration 4 gathers + two small MXU einsums.
+    """
+    j0, j1 = _proj_pose_jac(focal, xyz_ref)
+    J = dx_ref[..., None] * j0 + dy_ref[..., None] * j1
+    return jnp.where(valid[..., None], J, 0.0)
+
+
+def _ic_pass(cam, img, R, t, xyz_ref, i_ref, J_ref, valid):
+    """One inverse-compositional evaluation at pose (R, t):
+    masked (H, b, chi2) with the FIXED template Jacobian. Only I_cur is
+    sampled (4 gathers); H/b are MXU einsums."""
+    res, in_frame, _, _ = _residuals(cam, img, R, t, xyz_ref, i_ref, valid)
+    Jm = jnp.where(in_frame[..., None], J_ref, 0.0)
+    H = jnp.einsum("ni,nj->ij", Jm, Jm, preferred_element_type=jnp.float32)
+    b = jnp.einsum("ni,n->i", Jm, res, preferred_element_type=jnp.float32)
     chi2 = jnp.sum(res * res)
     return H, b, chi2
+
+
+def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0):
+    """Inverse-compositional LM for one pyramid level, all on device.
+
+    Same deferred-acceptance control flow and LM schedule as `_lm_level`,
+    but the update is RIGHT-multiplicative with the inverse increment:
+    solving H d = -b warps the TEMPLATE by exp(d), so the current estimate
+    absorbs exp(-d) on the template side: T <- T exp(-d)
+    (Baker & Matthews inverse-compositional; equivalent to the reference's
+    forward GN near convergence, dense_tracking.cpp:62-193)."""
+    H0, b0, chi2_0 = _ic_pass(cam, img, R0, t0, xyz_ref, i_ref, J_ref, valid)
+
+    def cond(state):
+        (R, t, H, b, chi2, mu, nu, trial, it, stop) = state
+        return jnp.logical_and(it < MAX_ITERS, jnp.logical_not(stop))
+
+    def body(state):
+        (R, t, H, b, chi2, mu, nu, trial, it, stop) = state
+        Hd = H + mu * jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(6, dtype=H.dtype)
+        d = jax.scipy.linalg.solve(Hd, -b, assume_a="pos")
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        T_new = SE3(R, t) @ SE3.exp(-d)
+        H_new, b_new, new_chi2 = _ic_pass(
+            cam, img, T_new.R, T_new.t, xyz_ref, i_ref, J_ref, valid
+        )
+        rho = chi2 - new_chi2
+        accept = rho > 0
+        stop_acc = jnp.max(jnp.abs(d)) <= 1e-5
+        mu_acc = mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        trial_new = jnp.where(accept, 0, trial + 1)
+        return (
+            jnp.where(accept, T_new.R, R),
+            jnp.where(accept, T_new.t, t),
+            jnp.where(accept, H_new, H),
+            jnp.where(accept, b_new, b),
+            jnp.where(accept, new_chi2, chi2),
+            jnp.where(accept, mu_acc, mu * nu),
+            jnp.where(accept, 2.0, nu * 2.0),
+            trial_new,
+            jnp.where(accept, it + 1, it),
+            jnp.where(accept, stop_acc, trial_new >= MAX_TRIALS),
+        )
+
+    init = (
+        R0, t0, H0, b0, chi2_0,
+        jnp.float32(0.01), jnp.float32(2.0),
+        jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    R, t, chi2, it = out[0], out[1], out[4], out[8]
+    return R, t, chi2, it
 
 
 def _lm_level(cam, img, dx_img, dy_img, xyz_ref, i_ref, valid, R0, t0):

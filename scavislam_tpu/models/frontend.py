@@ -121,6 +121,7 @@ class StereoFrontend:
         self._prev_clouds = None
         self._prev_intens = None
         self._prev_valids = None
+        self._prev_J = None
         self._R_cak = np.eye(3, dtype=np.float32)
         self._t_cak = np.zeros(3, np.float32)
         self._R_cw = np.eye(3, dtype=np.float32)
@@ -191,6 +192,7 @@ class StereoFrontend:
         out = frontend_step(
             stacked,
             self._prev_clouds, self._prev_intens, self._prev_valids,
+            self._prev_J,
             R_cw, t_cw,
             jnp.int32(max(self.actkey_id, 0)),
             self.poses, self.points,
@@ -205,7 +207,7 @@ class StereoFrontend:
 
     def _empty_prev_state(self, shape):
         h, w = shape
-        clouds, intens, valids = [], [], []
+        clouds, intens, valids, Js = [], [], [], []
         for l in range(self.levels):
             sub = 2 if l == 0 else 1  # DENSE_STRIDE_L0 in frontend_step
             step = (2**l) * sub
@@ -213,15 +215,15 @@ class StereoFrontend:
             clouds.append(jnp.zeros((n, 3), jnp.float32))
             intens.append(jnp.zeros((n,), jnp.float32))
             valids.append(jnp.zeros((n,), bool))
-        return tuple(clouds), tuple(intens), tuple(valids)
+            Js.append(jnp.zeros((n, 6), jnp.float32))
+        return tuple(clouds), tuple(intens), tuple(valids), tuple(Js)
 
     def process_first_frame(self, frame: dict):
         """Bootstrap: frame 0 becomes the first keyframe at the origin."""
         self.frame_id = frame.get("frame_id", 0)
         h, w = np.asarray(frame["left"]).shape
-        self._prev_clouds, self._prev_intens, self._prev_valids = (
-            self._empty_prev_state((h, w))
-        )
+        (self._prev_clouds, self._prev_intens, self._prev_valids,
+         self._prev_J) = self._empty_prev_state((h, w))
         cand_ids = np.full(CAND_CAP, -1, np.int64)
         out = self._run_step(frame, cand_ids)
 
@@ -300,6 +302,7 @@ class StereoFrontend:
         self._prev_clouds = out.clouds
         self._prev_valids = out.cloud_valids
         self._prev_intens = out.intens
+        self._prev_J = out.cloud_J
 
     # -- pipelined mode ------------------------------------------------------ #
     def process_frame_pipelined(self, frame: dict):

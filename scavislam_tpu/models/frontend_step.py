@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from scavislam_tpu.core.lie import SE3
-from scavislam_tpu.models.dense_tracker import _lm_level
+from scavislam_tpu.models.dense_tracker import _lm_level_ic, template_jacobian
 from scavislam_tpu.models.map_store import PointTable, PoseTable
 from scavislam_tpu.models.matcher import _warp_from_source
 from scavislam_tpu.models.pose_optimizer import motion_only_ba
@@ -112,6 +112,7 @@ class FrontendStepOut(NamedTuple):
     clouds: tuple
     cloud_valids: tuple
     intens: tuple
+    cloud_J: tuple  # per-level (N, 6) template Jacobians (IC dense tracking)
 
 
 def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
@@ -210,7 +211,7 @@ def frontend_step(
     frames_stacked,  # (2 or 3, H, W): left, right[, external disparity] —
     # ONE upload per frame (each separate host->device transfer costs a full
     # link round-trip)
-    prev_clouds, prev_intens, prev_valids,
+    prev_clouds, prev_intens, prev_valids, prev_J,
     R_cw_prev, t_cw_prev,  # previous frame's world pose (chain seed)
     actkey_id,  # device scalar int (keyframe-policy statistics only)
     poses: PoseTable,
@@ -273,10 +274,10 @@ def frontend_step(
         cam_l = StereoCamera(
             focal, jnp.stack([ppx, ppy]), cam_statics[level], baseline
         )
-        R_d, t_d, chi2_l, _ = _lm_level(
-            cam_l, pyr[level], dxs[level], dys[level],
-            prev_clouds[level], prev_intens[level], prev_valids[level],
-            R_d, t_d,
+        R_d, t_d, chi2_l, _ = _lm_level_ic(
+            cam_l, pyr[level],
+            prev_clouds[level], prev_intens[level], prev_J[level],
+            prev_valids[level], R_d, t_d,
         )
         dense_chi2 = chi2_l
 
@@ -380,10 +381,11 @@ def frontend_step(
     n_own = jnp.maximum(jnp.sum(own.astype(jnp.float32)), 1.0)
     mean_track_len = jnp.sum(jnp.where(own, track_len, 0.0)) / n_own
 
-    # -- 9. next frame's dense state (cloud pyramid, anchored at THIS frame)
-    clouds, valids, intens = _cloud_state(
+    # -- 9. next frame's dense state (cloud pyramid + IC template Jacobians,
+    # anchored at THIS frame)
+    clouds, valids, intens, cloud_J = _cloud_state(
         pyr, disp, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
-        cam_params, levels
+        cam_params, levels, dxs, dys
     )
 
     packed = jnp.concatenate([
@@ -407,20 +409,28 @@ def frontend_step(
         n_matched, n_gated, quad_counts, t_norm, mean_track_len,
         dense_chi2, res.chi2,
         pyr, dxs, dys, disp,
-        clouds, valids, intens,
+        clouds, valids, intens, cloud_J,
     )
 
 
-def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels):
+def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,
+                 dys=None):
     """Back-project the disparity map into the ACTKEY frame per level.
 
     Level 0 is subsampled by DENSE_STRIDE_L0 (the reference's CPU path
     samples every 4th pixel, dense_tracking.h:82; the photometric solve is
     massively over-determined, and halving the sample count halves the
     dominant bilinear-gather cost).
+
+    When dxs/dys (the frame's Sobel pyramids) are given, also returns the
+    per-level inverse-compositional template Jacobians — exact integer-pixel
+    gradients (the cloud IS the grid back-projected), computed once here
+    instead of re-sampled every LM iteration. The Jacobians are only valid
+    for the identity anchor (R_cak = I): they linearize in the frame whose
+    grid the template pixels live on.
     """
     DENSE_STRIDE_L0 = 2
-    clouds, valids, intens = [], [], []
+    clouds, valids, intens, Js = [], [], [], []
     Rt = R_cak.T
     for level in range(levels):
         s = 2**level
@@ -444,6 +454,15 @@ def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels):
         clouds.append(xyz_ak)
         valids.append(valid.reshape(-1))
         intens.append(pyr[level][::sub, ::sub].reshape(-1))
+        if dxs is not None:
+            Js.append(template_jacobian(
+                focal, xyz,  # pre-rebase xyz: the template frame's coords
+                dxs[level][::sub, ::sub].reshape(-1),
+                dys[level][::sub, ::sub].reshape(-1),
+                valid.reshape(-1),
+            ))
+    if dxs is not None:
+        return tuple(clouds), tuple(valids), tuple(intens), tuple(Js)
     return tuple(clouds), tuple(valids), tuple(intens)
 
 

@@ -529,28 +529,28 @@ class SlamGraph:
             e_valid[n_e] = True
             n_e += 1
 
-        # pack the whole problem into TWO transfers (one f32, one i32) —
-        # a remote-chip link pays a round-trip PER ARRAY, and BAProblem has
-        # 18 of them.
-        fbuf = np.concatenate([
+        # pack the whole problem into ONE transfer — a remote-chip link pays
+        # a round-trip PER ARRAY, and BAProblem has 18 of them. The int32
+        # section is appended bit-for-bit (f32 view; device bitcasts back).
+        ibuf = np.concatenate([
+            anchor_slot, obs_pose, obs_point, e_i, e_j
+        ]).astype(np.int32)
+        buf = np.concatenate([
             R.reshape(-1), t.reshape(-1),
             pose_valid.astype(np.float32), pose_fixed.astype(np.float32),
             psi.reshape(-1), point_valid.astype(np.float32),
             obs_uvu.reshape(-1), obs_w, obs_valid.astype(np.float32),
             e_R.reshape(-1), e_t.reshape(-1), e_info.reshape(-1),
             e_valid.astype(np.float32),
-        ]).astype(np.float32)
-        ibuf = np.concatenate([
-            anchor_slot, obs_pose, obs_point, e_i, e_j
-        ]).astype(np.int32)
+            ibuf.view(np.float32),
+        ])
         cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
                       self.cam.baseline)
         import time
 
         t0 = time.perf_counter()
         R_new, t_new, psi_new, stats = _solve_packed(
-            cam_params, jnp.asarray(fbuf), jnp.asarray(ibuf),
-            (P, L, O, E), num_iters, huber,
+            cam_params, jnp.asarray(buf), (P, L, O, E), num_iters, huber,
         )
         # ONE packed fetch for everything (each fetch is a link round-trip)
         packed = np.asarray(jnp.concatenate([
@@ -626,9 +626,18 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("caps", "num_iters", "huber"))
-def _solve_packed(cam_params, fbuf, ibuf, caps, num_iters, huber):
-    """Unpack the two transfer buffers into a BAProblem on device and solve."""
+def _solve_packed(cam_params, buf, caps, num_iters, huber):
+    """Unpack the single transfer buffer into a BAProblem on device and solve.
+
+    The int32 section rides the same f32 buffer bit-for-bit (host packs with
+    ``.view(np.float32)``; we bitcast back here) — a remote-chip link charges
+    a full round-trip per array, so one buffer beats two."""
     P, L, O, E = caps
+    n_int = L + 2 * O + 2 * E
+    fbuf = jax.lax.dynamic_slice_in_dim(buf, 0, buf.shape[0] - n_int)
+    ibuf = jax.lax.bitcast_convert_type(
+        jax.lax.dynamic_slice_in_dim(buf, buf.shape[0] - n_int, n_int),
+        jnp.int32)
     o = 0
 
     def take(n, shape=None):

@@ -207,9 +207,11 @@ class StereoFrontend:
 
     def _empty_prev_state(self, shape):
         h, w = shape
+        from scavislam_tpu.models.frontend_step import DENSE_SUBS
+
         clouds, intens, valids, Js = [], [], [], []
         for l in range(self.levels):
-            sub = 2 if l == 0 else 1  # DENSE_STRIDE_L0 in frontend_step
+            sub = DENSE_SUBS[l] if l < len(DENSE_SUBS) else 1
             step = (2**l) * sub
             n = -(-h // step) * -(-w // step)
             clouds.append(jnp.zeros((n, 3), jnp.float32))

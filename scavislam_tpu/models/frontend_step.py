@@ -54,22 +54,34 @@ def _patch_offsets_int(size: int):
 
 
 def _extract_bucket_patches(img, buckets_uv, buckets_valid):
-    """8x8 patches at INTEGER bucket-corner positions via one flat gather:
-    (cy, cx, K, 64). Replaces per-candidate bilinear re-sampling (the
-    dominant cost of the match stage: 3.5M bilinear samples -> 786k integer
-    gathers per level)."""
+    """8x8 patches at INTEGER bucket-corner positions: (cy, cx, K, 64).
+    Replaces per-candidate bilinear re-sampling (the dominant cost of the
+    match stage: 3.5M bilinear samples per level).
+
+    Extraction is a vmapped `dynamic_slice` of whole 8x8 blocks — XLA emits
+    ONE gather with slice_sizes (8, 8) whose rows are contiguous, ~8x fewer
+    gather transactions than per-pixel flat indexing (measured 7 ms -> ~1 ms
+    for the 3-level extraction on v5e)."""
     h, w = img.shape
     cy, cx, K, _ = buckets_uv.shape
-    offs = jnp.asarray(_patch_offsets_int(PATCH))  # (64, 2)
-    u0 = buckets_uv[..., 0].astype(jnp.int32)[..., None] + offs[:, 0].astype(jnp.int32)
-    v0 = buckets_uv[..., 1].astype(jnp.int32)[..., None] + offs[:, 1].astype(jnp.int32)
+    half = PATCH // 2
+    u0 = buckets_uv[..., 0].astype(jnp.int32)
+    v0 = buckets_uv[..., 1].astype(jnp.int32)
+    ut, vt = u0 - half, v0 - half  # patch top-left
     ok = (
-        (u0 >= 0) & (u0 < w) & (v0 >= 0) & (v0 < h)
-    ).all(axis=-1) & buckets_valid
-    u0 = jnp.clip(u0, 0, w - 1)
-    v0 = jnp.clip(v0, 0, h - 1)
-    vals = jnp.take(img.reshape(-1), v0 * w + u0)  # (cy, cx, K, 64)
-    return vals, ok
+        (ut >= 0) & (ut + PATCH <= w) & (vt >= 0) & (vt + PATCH <= h)
+    ) & buckets_valid
+    utc = jnp.clip(ut, 0, w - PATCH)
+    vtc = jnp.clip(vt, 0, h - PATCH)
+    offs_r = np.arange(PATCH, dtype=np.int32) - 0  # rows/cols from top-left
+    ou, ov = np.meshgrid(offs_r, offs_r)
+    offs_flat = jnp.asarray((ov * w + ou).reshape(-1))
+    base = (vtc * w + utc)[..., None]
+    # flat per-pixel take: measured FASTER on TPU than vmapped
+    # dynamic_slice (16 ms) or lax.gather with (1,8) row slices (120 ms) —
+    # XLA's scalar-indexed gather is the fast path here (7 ms/level-0 grid)
+    vals = jnp.take(img.reshape(-1), base + offs_flat)
+    return vals.reshape(cy, cx, K, PATCH * PATCH), ok
 from scavislam_tpu.ops.stereo import block_matching_disparity
 from scavislam_tpu.core.camera import StereoCamera
 
@@ -314,8 +326,12 @@ def frontend_step(
         focal, ppx, ppy, baseline = cam_params[l]
         w_l, h_l = cam_statics[l]
         # buckets at this level
-        cells_y = max(h_l // 8, 4)
-        cells_x = max(w_l // 8, 4)
+        # 16-px cells x 4 corners/cell tracks the reference's feature budget
+        # (2000*4^-l corners at level l, stereo_frontend.cpp:79): 24x32x4 =
+        # 3072 at level 0 — an 8-px grid held 12k corners, 6x the budget, and
+        # its per-corner patch table dominated the match stage (7 ms/frame)
+        cells_y = max(h_l // 16, 4)
+        cells_x = max(w_l // 16, 4)
         uvb, scoreb, validb = detect_corners_grid(
             pyr[l], 10.0 / 255.0, cells_y, cells_x, 4
         )
@@ -413,14 +429,17 @@ def frontend_step(
     )
 
 
+DENSE_SUBS = (2, 2, 1)  # per-level extra subsampling of the dense cloud
+
+
 def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,
                  dys=None):
     """Back-project the disparity map into the ACTKEY frame per level.
 
-    Level 0 is subsampled by DENSE_STRIDE_L0 (the reference's CPU path
-    samples every 4th pixel, dense_tracking.h:82; the photometric solve is
-    massively over-determined, and halving the sample count halves the
-    dominant bilinear-gather cost).
+    Levels are subsampled per DENSE_SUBS (the reference's CPU path samples
+    every 4th pixel, dense_tracking.h:82; the photometric solve is massively
+    over-determined, and the bilinear gathers are the dominant cost — note
+    level 1 UNSTRIDED has as many pixels as level 0 at stride 2).
 
     When dxs/dys (the frame's Sobel pyramids) are given, also returns the
     per-level inverse-compositional template Jacobians — exact integer-pixel
@@ -429,12 +448,11 @@ def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,
     for the identity anchor (R_cak = I): they linearize in the frame whose
     grid the template pixels live on.
     """
-    DENSE_STRIDE_L0 = 2
     clouds, valids, intens, Js = [], [], [], []
     Rt = R_cak.T
     for level in range(levels):
         s = 2**level
-        sub = DENSE_STRIDE_L0 if level == 0 else 1
+        sub = DENSE_SUBS[level] if level < len(DENSE_SUBS) else 1
         focal, ppx, ppy, baseline = cam_params[level]
         d_l = disp[:: s * sub, :: s * sub]
         hh, ww = d_l.shape

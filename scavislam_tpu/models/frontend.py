@@ -38,8 +38,16 @@ from scavislam_tpu.models.map_store import (
     MAX_POINTS,
     PointTable,
     PoseTable,
+    scatter_psi,
 )
 from scavislam_tpu.utils.config import Config
+
+
+# fixed scatter capacities: padding a scatter is nearly free, and ONE shape
+# per site means ONE compile ever (variable-length eager scatters recompiled
+# ~3.5 s on every keyframe — it dominated end-to-end fps)
+_POSE_SCATTER_CAP = 128
+_PSI_SCATTER_CAP = 8192
 
 # static capacities
 CAND_CAP = 1536  # candidate points considered per frame
@@ -555,17 +563,41 @@ class StereoFrontend:
         adopt only if it contains the current actkey)."""
         if nb is None or self.actkey_id not in nb.get("kf_ids", []):
             return False
-        for kf, (R, t) in nb.get("poses", {}).items():
-            T = SE3(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
-            self.poses = self.poses.set(int(kf), T)
-            self.pose_np[int(kf)] = (
-                np.asarray(R, np.float32), np.asarray(t, np.float32)
+        nb_poses = nb.get("poses", {})
+        if nb_poses:
+            # ONE fixed-shape batched scatter (padded to a bucket size):
+            # per-keyframe .set() dispatched a program per pose, and eager
+            # variable-length scatters recompiled every keyframe (~3.5 s)
+            kfs = np.fromiter(nb_poses.keys(), np.int64, len(nb_poses))
+            Rs = np.stack([nb_poses[int(k)][0] for k in kfs]).astype(np.float32)
+            ts = np.stack([nb_poses[int(k)][1] for k in kfs]).astype(np.float32)
+            cap = _POSE_SCATTER_CAP
+            kfs = kfs[:cap]
+            Rs, ts = Rs[:cap], ts[:cap]
+            idx = np.full(cap, 1 << 30, np.int32)
+            idx[: len(kfs)] = kfs
+            Rp = np.zeros((cap, 3, 3), np.float32)
+            Rp[: len(kfs)] = Rs
+            tp = np.zeros((cap, 3), np.float32)
+            tp[: len(kfs)] = ts
+            self.poses = self.poses.set_many(
+                jnp.asarray(idx), jnp.asarray(Rp), jnp.asarray(tp)
             )
+            for k, R, t in zip(kfs, Rs, ts):
+                self.pose_np[int(k)] = (R, t)
         pids = nb.get("psi_ids")
         if pids is not None and len(pids) > 0:
-            psi_new = jnp.asarray(nb["psi_vals"], jnp.float32)
+            n = min(len(pids), _PSI_SCATTER_CAP)
+            cap = _PSI_SCATTER_CAP
+            pids = np.asarray(pids)[:n]
+            idx = np.full(cap, 1 << 30, np.int32)
+            idx[:n] = pids
+            vals = np.zeros((cap, 3), np.float32)
+            vals[:n] = np.asarray(nb["psi_vals"], np.float32)[:n]
             self.points = self.points._replace(
-                psi=self.points.psi.at[jnp.asarray(pids)].set(psi_new)
+                psi=scatter_psi(
+                    self.points.psi, jnp.asarray(idx), jnp.asarray(vals)
+                )
             )
         # keep world pose consistent with the (possibly moved) actkey
         Rk, tk = self.pose_np[self.actkey_id]

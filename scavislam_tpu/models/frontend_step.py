@@ -56,12 +56,7 @@ def _patch_offsets_int(size: int):
 def _extract_bucket_patches(img, buckets_uv, buckets_valid):
     """8x8 patches at INTEGER bucket-corner positions: (cy, cx, K, 64).
     Replaces per-candidate bilinear re-sampling (the dominant cost of the
-    match stage: 3.5M bilinear samples per level).
-
-    Extraction is a vmapped `dynamic_slice` of whole 8x8 blocks — XLA emits
-    ONE gather with slice_sizes (8, 8) whose rows are contiguous, ~8x fewer
-    gather transactions than per-pixel flat indexing (measured 7 ms -> ~1 ms
-    for the 3-level extraction on v5e)."""
+    match stage: 3.5M bilinear samples per level)."""
     h, w = img.shape
     cy, cx, K, _ = buckets_uv.shape
     half = PATCH // 2
@@ -429,7 +424,7 @@ def frontend_step(
     )
 
 
-DENSE_SUBS = (2, 2, 1)  # per-level extra subsampling of the dense cloud
+DENSE_SUBS = (4, 2, 1)  # per-level extra subsampling of the dense cloud
 
 
 def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,

@@ -51,6 +51,11 @@ class PoseTable(NamedTuple):
             self.valid.at[idx].set(True),
         )
 
+    def set_many(self, idx, Rs, ts) -> "PoseTable":
+        """Batched pose writeback; out-of-bounds ids (padding) are dropped.
+        One fixed-shape scatter instead of one program per keyframe."""
+        return _pose_scatter(self, idx, Rs, ts)
+
     def get(self, idx) -> SE3:
         return SE3(self.R[idx], self.t[idx])
 
@@ -112,3 +117,24 @@ def materialize_points(poses: PoseTable, points: PointTable, ids: jnp.ndarray):
     xyz_w = jnp.einsum("nji,nj->ni", R_aw, xyz_a - t_aw)
     ok = (ids >= 0) & points.valid[safe] & poses.valid[a_idx] & (q[:, 0] > 1e-9)
     return xyz_w, R_aw, t_aw, points.patch[safe], ok
+
+
+@jax.jit
+def _pose_scatter(poses: PoseTable, idx, Rs, ts) -> PoseTable:
+    return PoseTable(
+        poses.R.at[idx].set(Rs, mode="drop"),
+        poses.t.at[idx].set(ts, mode="drop"),
+        poses.valid.at[idx].set(True, mode="drop"),
+    )
+
+
+@jax.jit
+def scatter_psi(psi_table, pids, vals):
+    """Masked psi writeback: `pids` padded with out-of-bounds ids (dropped).
+
+    The backend returns a DIFFERENT number of optimized points per
+    neighborhood; an unpadded eager `.at[pids].set` recompiled its scatter
+    every keyframe (~3.5 s each, measured — it dominated end-to-end fps).
+    Callers pad to a small set of bucket sizes instead.
+    """
+    return psi_table.at[pids].set(vals, mode="drop")

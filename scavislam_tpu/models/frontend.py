@@ -20,6 +20,7 @@ memory; the device tables remain the single source of truth for compute.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import jax
@@ -50,7 +51,9 @@ _POSE_SCATTER_CAP = 128
 _PSI_SCATTER_CAP = 8192
 
 # static capacities
-CAND_CAP = 1536  # candidate points considered per frame
+CAND_CAP = 768  # candidate points considered per frame (measured live
+# candidate counts 420-700 on New College-shaped runs; the reference's
+# 3-stage assembly is budget-capped too, stereo_frontend.cpp:977-1065)
 NEW_PER_LEVEL = (320, 96, 32)  # new points per keyframe per level
 # (reference budget: <=300*4^-l at level 0, stereo_frontend.cpp:743)
 TRACKED_CAP = 1024  # padded tracked-obs buffer for clearance tests
@@ -146,7 +149,10 @@ class StereoFrontend:
         self._cand_dev = None
         self._dev_R_cw = None  # device arrays chaining the world pose
         self._dev_t_cw = None
-        self._pending = None  # (frame_id, cand_ids_np, FrontendStepOut)
+        self._pending = None  # (frame_id, cand_ids_np, FrontendStepOut, fut)
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="packed-fetch"
+        )
 
     # -- public pose accessors ------------------------------------------- #
     @property
@@ -329,8 +335,13 @@ class StereoFrontend:
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
+        # fetch `packed` in a helper thread: on a remote chip the download is
+        # a full link round-trip (~30 ms) that would otherwise sit SERIALLY
+        # in the frame loop — started here, it overlaps this frame's device
+        # execution and is already resolved when the next frame consumes it
+        fut = self._fetch_pool.submit(np.asarray, out.packed)
         prev = self._pending
-        self._pending = (self.frame_id, cand_ids, out)
+        self._pending = (self.frame_id, cand_ids, out, fut)
         self._roll(out)
         if prev is None:
             return None
@@ -344,9 +355,9 @@ class StereoFrontend:
         self._pending = None
         return self._consume(*prev)
 
-    def _consume(self, frame_id, cand_ids, out: FrontendStepOut):
+    def _consume(self, frame_id, cand_ids, out: FrontendStepOut, fut=None):
         C = CAND_CAP
-        pk = np.asarray(out.packed)
+        pk = fut.result() if fut is not None else np.asarray(out.packed)
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
         R_cak = pk[12:21].reshape(3, 3)

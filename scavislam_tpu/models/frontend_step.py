@@ -424,7 +424,7 @@ def frontend_step(
     )
 
 
-DENSE_SUBS = (4, 2, 1)  # per-level extra subsampling of the dense cloud
+DENSE_SUBS = (2, 2, 1)  # per-level extra subsampling of the dense cloud
 
 
 def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,

@@ -47,6 +47,23 @@ def _prep_frames(seq, n, device=True):
     return frames
 
 
+def _warm(cam, cfg, frames, loop_closure=False, n=8):
+    """Compile every jit path for this config's SHAPES and WINDOW CAPS
+    before timing (jit caches are process-wide): a tiny parallax threshold
+    forces keyframe drops, so the spawn + BA-solve programs compile here.
+    Each graph-window configuration compiles its own _solve_packed."""
+    import dataclasses as dc
+
+    wcfg = dc.replace(cfg, ui=dc.replace(cfg.ui, parallax_thr=0.02))
+    w = _system(cam, wcfg, threaded=False, enable_loop_closure=loop_closure)
+    w.process_first_frame(dict(frames[0]))
+    for f in frames[1:n]:
+        if not w.process_frame(dict(f)):
+            break
+    w.finish()
+    w.shutdown()
+
+
 def _run_frames(system, frames, warm=2):
     from scavislam_tpu.pipeline.slam_system import ate_rmse
 
@@ -60,6 +77,7 @@ def _run_frames(system, frames, warm=2):
             break
         n += 1
     dt = time.perf_counter() - t0
+    system.finish()
     system.shutdown()
     gtmap = {f["frame_id"]: f["T_cw_gt"] for f in frames}
     pairs = [(fid, T) for fid, T in system.trajectory if fid in gtmap]
@@ -78,13 +96,7 @@ def config1(n=230):
     frames = _prep_frames(seq, n)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
                      pipelined=True)
-    # warm every path
-    warm_cfg = dataclasses.replace(
-        cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.02))
-    w = _system(cam, warm_cfg, threaded=False, enable_loop_closure=False)
-    w.process_first_frame(frames[0])
-    for f in frames[1:6]:
-        w.process_frame(dict(f))
+    _warm(cam, cfg, frames)
     fps, ate, system = _run_frames(system, frames)
     return {"config": 1, "metric": "newcollege_subset_fps", "value": round(fps, 2),
             "unit": "frames/sec", "ate_rmse_m": round(ate, 4),
@@ -102,11 +114,16 @@ def config2(n=90):
         cfg,
         frontend=dataclasses.replace(cfg.frontend, covis_thr=10),
         ui=dataclasses.replace(cfg.ui, parallax_thr=0.25),
-        graph=dataclasses.replace(cfg.graph, inner_window=5, outer_window=20),
+        # windows much smaller than the ~19-keyframe circle: when the spin
+        # returns, the revisited keyframe is OUTSIDE the double window, so
+        # the appearance loop carries information (a loop vertex already in
+        # the inner window is rejected as no-gain — the reference's gate)
+        graph=dataclasses.replace(cfg.graph, inner_window=3, outer_window=8),
     )
     seq = SyntheticSequence(cam, n_frames=n, kind="spin",
                             planes=closed_box(), step=1.0 / (n - 1))
     frames = _prep_frames(seq, n)
+    _warm(cam, cfg, frames, loop_closure=True)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=True)
     system.place_recognizer.score_thr = 0.05
     system.place_recognizer.min_inliers = 15
@@ -148,6 +165,7 @@ def config3(n=60):
                 break
             f["T_cw_gt"] = seq.frame(f["frame_id"])["T_cw_gt"]
             frames.append(f)
+        _warm(cam, cfg, frames)
         fps, ate, system = _run_frames(system, frames)
     return {"config": 3, "metric": "rgbd_replay_fps", "value": round(fps, 2),
             "unit": "frames/sec", "ate_rmse_m": round(ate, 4)}

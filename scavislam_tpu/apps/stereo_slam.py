@@ -116,6 +116,7 @@ def main(argv=None):
                 break
         n += 1
 
+    system.finish()
     system.shutdown()
     traj = system.export_trajectory()
     np.savetxt(args.out, traj)

@@ -94,6 +94,9 @@ class Backend:
             self._query_count = getattr(self, "_query_count", 0) + 1
             dirty = getattr(self, "_graph_dirty", True)
             if dirty or self._query_count % 8 == 0:
+                pm = getattr(self, "per_mon", None)
+                if pm is not None:
+                    pm.start("back end")
                 if self.graph.prepare_for_optimization(qid):
                     self.local_registration_stack.append(qid)
                     self.monitor.pushDrawData(self.draw_data())
@@ -101,6 +104,8 @@ class Backend:
                     self.monitor.pushNeighborhood(nb)
                     self.graph.optimize(num_iters=2, huber=3.0)
                     self._graph_dirty = False
+                if pm is not None:
+                    pm.stop("back end")
             did = True
 
         if self.local_registration_stack:
@@ -119,8 +124,12 @@ class Backend:
         """Thread entry point (parity: Backend::operator())."""
         import time
 
+        self.working = False
         while not stop_event.is_set():
-            if not self.step():
+            self.working = True
+            did = self.step()
+            self.working = False
+            if not did:
                 time.sleep(0.001)
 
     # -- A: keyframe insertion ------------------------------------------- #

@@ -149,7 +149,8 @@ def _ic_pass(cam, img, R, t, xyz_ref, i_ref, J_ref, valid):
     return H, b, chi2
 
 
-def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0):
+def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0,
+                 max_iters=MAX_ITERS):
     """Inverse-compositional LM for one pyramid level, all on device.
 
     Same deferred-acceptance control flow and LM schedule as `_lm_level`,
@@ -162,7 +163,7 @@ def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0):
 
     def cond(state):
         (R, t, H, b, chi2, mu, nu, trial, it, stop) = state
-        return jnp.logical_and(it < MAX_ITERS, jnp.logical_not(stop))
+        return jnp.logical_and(it < max_iters, jnp.logical_not(stop))
 
     def body(state):
         (R, t, H, b, chi2, mu, nu, trial, it, stop) = state

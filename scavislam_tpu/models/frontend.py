@@ -143,6 +143,7 @@ class StereoFrontend:
         self._tracked_ids = np.zeros((0,), np.int64)
         self._tracked_obs = np.zeros((0, 3), np.float32)
         self._tracked_levels = np.zeros((0,), np.int64)
+        self.per_mon = None  # optional named-stage timer (set by SlamSystem)
 
         # pipelined mode state: device-resident pose chain + in-flight frame
         self._cand_np = None
@@ -393,7 +394,11 @@ class StereoFrontend:
             quad_counts, float(np.linalg.norm(self._t_cak)),
             float(mean_track_len),
         ):
+            if self.per_mon is not None:
+                self.per_mon.start("drop keyframe")
             self._add_new_keyframe(out)
+            if self.per_mon is not None:
+                self.per_mon.stop("drop keyframe")
             dropped = True
         return True, dropped
 

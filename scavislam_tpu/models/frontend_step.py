@@ -281,6 +281,10 @@ def frontend_step(
         cam_l = StereoCamera(
             focal, jnp.stack([ppx, ppy]), cam_statics[level], baseline
         )
+        # NOTE: capping level-0 iterations below the reference's 15 loses
+        # tracking on the 360-spin system test — rotation-heavy motion needs
+        # the full fine-level refinement; the early-stop in _lm_level_ic
+        # already bounds easy frames.
         R_d, t_d, chi2_l, _ = _lm_level_ic(
             cam_l, pyr[level],
             prev_clouds[level], prev_intens[level], prev_J[level],

@@ -121,8 +121,12 @@ class PlaceRecognizer:
     def run(self, stop_event):
         import time
 
+        self.working = False
         while not stop_event.is_set():
-            if not self.step():
+            self.working = True
+            did = self.step()
+            self.working = False
+            if not did:
                 time.sleep(0.001)
 
     def add_location(self, data: dict):

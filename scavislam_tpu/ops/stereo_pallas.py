@@ -69,7 +69,7 @@ HALO = 8  # sublane-aligned halo (>= radius; DMA slices must be 8-row aligned)
 def _bm_kernel(
     lf_hbm, rf_hbm, disp_ref, best_ref, bestr_ref,
     lf_s, rf_s, vol, sem,
-    *, num_disp, radius, rows, width, uniq, tex_thr,
+    *, num_disp, radius, rows, width, height, uniq, tex_thr,
 ):
     i = pl.program_id(0)
     slab = rows + 2 * HALO
@@ -164,11 +164,18 @@ def _bm_kernel(
     )
     disp = bf + jnp.clip(delta, -0.5, 0.5)
 
+    # border rows: the XLA twin rejects windows touching out-of-image pixels
+    # (count >= full); the zero-padded halo here would otherwise score them
+    # as plausible-and-valid, feeding garbage depths into the dense cloud
+    # (measured: it flipped the keyframe policy on 192-row spin runs)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0) + i * rows
+    in_img = (grow >= radius) & (grow < height - radius)
     valid = (
         (cmin < 1e4)
         & (cmin * uniq <= c2)
         & (tex / full > tex_thr)
         & (best > 0)
+        & in_img
     )
     disp_ref[:, :] = jnp.where(valid, disp, -1.0)
     best_ref[:, :] = best
@@ -206,7 +213,7 @@ def block_matching_disparity_pallas(
     grid = h // rows
     kernel = partial(
         _bm_kernel,
-        num_disp=num_disp, radius=radius, rows=rows, width=w,
+        num_disp=num_disp, radius=radius, rows=rows, width=w, height=h,
         uniq=uniqueness_ratio, tex_thr=texture_threshold,
     )
     disp, best, bestr = pl.pallas_call(

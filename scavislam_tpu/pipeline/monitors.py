@@ -160,3 +160,9 @@ class PlaceRecognizerMonitor:
     def getLoop(self):
         with self._lock:
             return self._loops.pop() if self._loops else None
+
+    def pending(self) -> bool:
+        """True if unconsumed work sits in either direction (used by
+        SlamSystem.finish to drain after the last frame)."""
+        with self._lock:
+            return self._newest_kf is not None or bool(self._loops)

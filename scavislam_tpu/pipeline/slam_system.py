@@ -25,6 +25,7 @@ Unlike the reference — which prints FAILURE and exits on tracking loss
 from __future__ import annotations
 
 import threading
+import time
 
 import numpy as np
 
@@ -62,8 +63,10 @@ class SlamSystem:
             PlaceRecognizerMonitor() if enable_loop_closure else None
         )
         self.frontend = StereoFrontend(cam, self.cfg)
+        self.frontend.per_mon = self.per_mon
         self.backend = Backend(cam, self.cfg, self.backend_monitor,
                                self.place_monitor)
+        self.backend.per_mon = self.per_mon
         self.place_recognizer = (
             PlaceRecognizer(cam, vocabulary, self.place_monitor)
             if enable_loop_closure else None
@@ -113,16 +116,24 @@ class SlamSystem:
         if nb is not None:
             self.frontend.apply_neighborhood(nb)
 
+        # All device-side stages (preprocess/stereo/dense tracking/fast/
+        # match) are FUSED into one XLA program here, so unlike the
+        # reference they cannot be bracketed individually; the fused
+        # dispatch+consume is accounted under "dense tracking" (its dominant
+        # component) and the host-side stages keep their own timers.
+        pm.start("dense tracking")
         if self.pipelined:
             res = self.frontend.process_frame_pipelined(frame)
             consumed_id = self._inflight_id
             self._inflight_id = frame.get("frame_id", len(self.trajectory))
             if res is None:
+                pm.stop("dense tracking")
                 return True  # first frame in flight; nothing consumed yet
             success, dropped = res
         else:
             success, dropped = self.frontend.process_frame(frame)
             consumed_id = frame.get("frame_id", len(self.trajectory))
+        pm.stop("dense tracking")
         if not success:
             self.tracking_ok = False
             return False
@@ -156,13 +167,53 @@ class SlamSystem:
                 pass
 
     # ------------------------------------------------------------------ #
-    def shutdown(self):
-        if self.pipelined:
+    def finish(self, timeout: float = 60.0):
+        """Drain pending backend / place-recognition work after the last
+        frame. The reference's worker threads keep consuming while the GUI
+        idles (stereo_slam.cpp main loop runs until quit); without this, a
+        threaded run that ends right after the last frame abandons queued
+        keyframes — and any loop closure they would have produced."""
+        self._flush_frontend()
+        if not self.threaded:
+            self._drain_workers()
+        else:
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                loop = self.backend_monitor.getClosedLoop()
+                if loop is not None:
+                    self.closed_loops.append(loop)
+                    continue
+                busy = (
+                    len(self.backend_monitor.keyframes) > 0
+                    or getattr(self.backend, "working", False)
+                    or bool(self.backend.local_registration_stack)
+                    or (self.place_monitor is not None
+                        and (self.place_monitor.pending()
+                             or getattr(self.place_recognizer, "working",
+                                        False)))
+                )
+                if not busy:
+                    break
+                time.sleep(0.005)
+        loop = self.backend_monitor.getClosedLoop()
+        while loop is not None:
+            self.closed_loops.append(loop)
+            loop = self.backend_monitor.getClosedLoop()
+
+    def _flush_frontend(self):
+        if self.pipelined and self.frontend._pending is not None:
             res = self.frontend.flush_pipeline()
             if res is not None and res[0]:
                 self.trajectory.append(
                     (self._inflight_id, self.frontend._world_pose())
                 )
+                if res[1]:  # the in-flight frame dropped a keyframe
+                    self.backend_monitor.pushKeyframe(
+                        self.frontend.to_optimizer_stack[-1]
+                    )
+
+    def shutdown(self):
+        self._flush_frontend()
         self._stop.set()
         for t in self._threads:
             t.join(timeout=5.0)

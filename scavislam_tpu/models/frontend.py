@@ -151,8 +151,12 @@ class StereoFrontend:
         self._dev_R_cw = None  # device arrays chaining the world pose
         self._dev_t_cw = None
         self._pending = None  # (frame_id, cand_ids_np, FrontendStepOut, fut)
+        # 3 workers: each fetch is one link round-trip (~30 ms on a remote
+        # chip); with one worker the fetch THROUGHPUT (1/RT) caps the frame
+        # rate even though the latency is hidden. Concurrent round-trips
+        # overlap on the link; per-frame futures keep results ordered.
         self._fetch_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="packed-fetch"
+            max_workers=3, thread_name_prefix="packed-fetch"
         )
 
     # -- public pose accessors ------------------------------------------- #

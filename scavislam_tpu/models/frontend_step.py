@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.models.dense_tracker import _lm_level_ic, template_jacobian
 from scavislam_tpu.models.map_store import PointTable, PoseTable
-from scavislam_tpu.models.matcher import _warp_from_source
+from scavislam_tpu.models.matcher import _warp_from_source, qpack_patches
 from scavislam_tpu.models.pose_optimizer import motion_only_ba
 from scavislam_tpu.ops.fast import detect_corners_grid
 from scavislam_tpu.ops.image import (
@@ -125,7 +125,8 @@ class FrontendStepOut(NamedTuple):
 def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
                      source_patches, point_valid, buckets_uv, buckets_valid,
                      bucket_patches, bucket_patch_ok,
-                     disp0, level, zmssd_thr, search_radius):
+                     disp0, level, zmssd_thr, search_radius,
+                     source_patches_q=None):
     """Inlined guided matching for one level (same math as matcher._match_level
     but callable inside the fused step)."""
     focal, ppx, ppy = cam_l["focal"], cam_l["ppx"], cam_l["ppy"]
@@ -177,7 +178,8 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
         / det_safe[:, None, None]
     )
     ref_patch, warp_ok = _warp_from_source(
-        source_patches, A_c2a, offsets=_patch_offsets_int(PATCH)
+        source_patches, A_c2a, offsets=_patch_offsets_int(PATCH),
+        source_q=source_patches_q,
     )
     cand_ok = cand_ok & det_ok & warp_ok
 
@@ -309,6 +311,7 @@ def frontend_step(
     t_aw = poses.t[a_idx]
     xyz_w = jnp.einsum("nji,nj->ni", R_aw, xyz_a - t_aw)
     patches = points.patch[safe]
+    patches_q = qpack_patches(patches)  # shared by the 3 per-level matchers
     cand_levels = points.level[safe]
     cand_uv0 = points.uv0[safe]
     cand_anchor = a_idx
@@ -344,7 +347,7 @@ def frontend_step(
             {"focal": focal, "ppx": ppx, "ppy": ppy, "size": (w_l, h_l)},
             pyr[l], R_cw, t_cw, xyz_w, R_aw, t_aw, patches, lvl_ok,
             buckets_uv, buckets_valid, bucket_patches, bucket_patch_ok,
-            disp, l, zmssd_thr, 10.0,
+            disp, l, zmssd_thr, 10.0, source_patches_q=patches_q,
         )
         obs_all = jnp.where(m_l[:, None], obs_l, obs_all)
         matched_all = matched_all | m_l

@@ -72,11 +72,25 @@ def capture_source_patches(img_level: jnp.ndarray, uv_level: jnp.ndarray):
     )
 
 
-def _warp_from_source(source: jnp.ndarray, A: jnp.ndarray, offsets=None):
+def qpack_patches(source: jnp.ndarray) -> jnp.ndarray:
+    """(N, S, S) patches -> (N*S*S, 4) per-pixel 2x2 tap pack, so warping
+    needs ONE 4-wide contiguous gather per sample instead of 4 scalar
+    gathers (TPU gathers are transaction-bound). Wrapped entries in each
+    patch's last row/column are never indexed (coords clipped to S-2).
+    Build once per frame and reuse across the per-level match calls."""
+    r1 = jnp.roll(source, -1, 2)
+    d1 = jnp.roll(source, -1, 1)
+    q = jnp.stack([source, r1, d1, jnp.roll(d1, -1, 2)], -1)
+    return q.reshape(-1, 4)
+
+
+def _warp_from_source(source: jnp.ndarray, A: jnp.ndarray, offsets=None,
+                      source_q: jnp.ndarray = None):
     """Sample the central 8x8 of each 16x16 source patch through affine A
     (A maps current-frame offsets to anchor-frame offsets).
 
     source: (N, 16, 16); A: (N, 2, 2) -> (N, 64)
+    source_q: optional qpack_patches(source) to share across calls.
     """
     offs = jnp.asarray(
         offsets if offsets is not None else _patch_offsets_int(PATCH)
@@ -96,13 +110,11 @@ def _warp_from_source(source: jnp.ndarray, A: jnp.ndarray, offsets=None):
     fv = v - v0
     ok = (u >= 0) & (v >= 0) & (u <= S - 1) & (v <= S - 1)
     base = (jnp.arange(n, dtype=jnp.int32) * (S * S))[:, None]
-    flat = source.reshape(-1)
-    i00 = jnp.take(flat, base + v0 * S + u0)
-    i01 = jnp.take(flat, base + v0 * S + u0 + 1)
-    i10 = jnp.take(flat, base + (v0 + 1) * S + u0)
-    i11 = jnp.take(flat, base + (v0 + 1) * S + u0 + 1)
-    vals = (i00 * (1 - fu) + i01 * fu) * (1 - fv) + (
-        i10 * (1 - fu) + i11 * fu
+    if source_q is None:
+        source_q = qpack_patches(source)
+    q = source_q[base + v0 * S + u0]  # (N, 64, 4)
+    vals = (q[..., 0] * (1 - fu) + q[..., 1] * fu) * (1 - fv) + (
+        q[..., 2] * (1 - fu) + q[..., 3] * fu
     ) * fv
     return vals, jnp.all(ok, axis=-1)
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -96,57 +97,80 @@ def _bm_kernel(
     # ---- pass 1: fill the VMEM cost volume (box-filtered SAD per d).
     # fori_loop (NOT an unrolled python loop — 64 unrolled iterations keep
     # ~60 MB of temporaries live on the Mosaic stack and blow VMEM).
-    def fill(d, _):
-        rfd = pltpu.roll(rf, d, axis=1)  # dynamic lane rotate
-        diff = jnp.where(col >= d, jnp.abs(lf - rfd), BIG)
-        hsum = _box_h(diff, radius)
-        acc = hsum[base: base + rows, :]
-        for rr in range(1, 2 * radius + 1):
-            acc = acc + hsum[base + rr: base + rr + rows, :]
-        vol[pl.ds(d, 1), :, :] = acc[None]
-        return 0
+    # Vertical 11-tap box sum as a banded-0/1-matrix matmul: sublane-shifted
+    # slices (`hsum[base+rr : ...]`) relayout the register file per tap on
+    # TPU; the MXU absorbs the misalignment in ONE (rows, slab) @ (slab, W)
+    # product. The band matrix is built from iotas (Pallas kernels cannot
+    # capture host constants).
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, slab_rows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, slab_rows), 1)
+    Bband = ((ci >= HALO - radius + ri)
+             & (ci <= HALO + radius + ri)).astype(jnp.float32)
 
-    jax.lax.fori_loop(0, num_disp, fill, 0)
+    def box_h_roll(x):
+        # horizontal box sum with pltpu.roll (lane rotates — the concat
+        # formulation of _box_h relayouts the register file per shift)
+        acc = x
+        for r in range(1, radius + 1):
+            acc = acc + jnp.where(col >= r, pltpu.roll(x, r, axis=1), BIG)
+            acc = acc + jnp.where(col < width - r,
+                                  pltpu.roll(x, width - r, axis=1), BIG)
+        return acc
 
-    # ---- texture measure: box sum of |lf| (center rows only)
-    at = _box_h(jnp.abs(lf), radius)
-    tex = at[base: base + rows, :]
-    for rr in range(1, 2 * radius + 1):
-        tex = tex + at[base + rr: base + rr + rows, :]
-    full = float((2 * radius + 1) ** 2)
+    # argmin is FOLDED into the fill pass (one loop instead of two), the
+    # right image is rolled INCREMENTALLY (static roll-by-1 carried through
+    # the loop), and the body is manually unrolled x4: the per-iteration
+    # Mosaic loop overhead, not the vector work, dominates at 64 iterations.
+    UNROLL = 4
+    assert num_disp % UNROLL == 0
 
-    # ---- argmin
-    def amin(d, carry):
-        best, cmin = carry
-        c = vol[pl.ds(d, 1), :, :][0]
-        take = c < cmin
-        return (jnp.where(take, d, best), jnp.where(take, c, cmin))
+    def fill(k, carry):
+        best, cmin, rfd = carry
+        for j in range(UNROLL):
+            d = k * UNROLL + j
+            diff = jnp.where(col >= d, jnp.abs(lf - rfd), BIG)
+            hsum = box_h_roll(diff)
+            acc = jnp.dot(Bband, hsum, preferred_element_type=jnp.float32)
+            vol[pl.ds(d, 1), :, :] = acc[None]
+            take = acc < cmin
+            best = jnp.where(take, d, best)
+            cmin = jnp.where(take, acc, cmin)
+            rfd = pltpu.roll(rfd, 1, axis=1)
+        return (best, cmin, rfd)
 
-    best, cmin = jax.lax.fori_loop(
-        0, num_disp, amin,
+    best, cmin, _ = jax.lax.fori_loop(
+        0, num_disp // UNROLL, fill,
         (jnp.zeros((rows, width), jnp.int32),
-         jnp.full((rows, width), BIG, jnp.float32)),
+         jnp.full((rows, width), BIG, jnp.float32),
+         rf),
     )
 
+    # ---- texture measure: box sum of |lf| (center rows only)
+    tex = jnp.dot(Bband, _box_h(jnp.abs(lf), radius),
+                  preferred_element_type=jnp.float32)
+    full = float((2 * radius + 1) ** 2)
+
     # ---- runner-up (excluding +-1), subpixel neighbors, right-view winner
-    def pass2(d, carry):
+    def pass2(k, carry):
         c2, c_m, c_p, bestr, bestr_c = carry
-        c = vol[pl.ds(d, 1), :, :][0]
-        far = jnp.abs(best - d) > 1
-        c2 = jnp.where(far & (c < c2), c, c2)
-        c_m = jnp.where(best - 1 == d, c, c_m)
-        c_p = jnp.where(best + 1 == d, c, c_p)
-        # right-view winner: candidate for right pixel u-d is cost[d][u]
-        cl = jnp.where(
-            col_c < width - d, pltpu.roll(c, -d, axis=1), BIG
-        )
-        tr = cl < bestr_c
-        bestr = jnp.where(tr, d, bestr)
-        bestr_c = jnp.where(tr, cl, bestr_c)
+        for j in range(UNROLL):
+            d = k * UNROLL + j
+            c = vol[pl.ds(d, 1), :, :][0]
+            far = jnp.abs(best - d) > 1
+            c2 = jnp.where(far & (c < c2), c, c2)
+            c_m = jnp.where(best - 1 == d, c, c_m)
+            c_p = jnp.where(best + 1 == d, c, c_p)
+            # right-view winner: candidate for right pixel u-d is cost[d][u]
+            cl = jnp.where(
+                col_c < width - d, pltpu.roll(c, -d, axis=1), BIG
+            )
+            tr = cl < bestr_c
+            bestr = jnp.where(tr, d, bestr)
+            bestr_c = jnp.where(tr, cl, bestr_c)
         return (c2, c_m, c_p, bestr, bestr_c)
 
     c2, c_m, c_p, bestr, bestr_c = jax.lax.fori_loop(
-        0, num_disp, pass2,
+        0, num_disp // UNROLL, pass2,
         (jnp.full((rows, width), BIG, jnp.float32),
          jnp.full((rows, width), BIG, jnp.float32),
          jnp.full((rows, width), BIG, jnp.float32),

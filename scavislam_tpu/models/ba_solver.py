@@ -177,7 +177,7 @@ def _huber_weight(s, delta):
     return jnp.where(s <= delta * delta, 1.0, delta / jnp.sqrt(jnp.maximum(s, 1e-12)))
 
 
-def _chi2(cam_params, prob, R, t, psi, huber):
+def _chi2(cam_params, prob, R, t, psi, huber, sp_axis=None):
     r, mask, _ = _obs_residuals(cam_params, prob, R, t, psi)
     # per-component info: (w_l, w_l, 0.333^2) with w_l = obs_weight = 4^-level
     info = jnp.stack(
@@ -189,11 +189,22 @@ def _chi2(cam_params, prob, R, t, psi, huber):
     d, emask = _edge_residuals(prob, R, t)
     se = jnp.einsum("ni,nij,nj->n", d, prob.edge_info, d)
     chi_e = jnp.sum(jnp.where(emask, se, 0.0))
+    if sp_axis is not None:
+        # obs are sharded over sp_axis; edges are replicated, so count them
+        # on shard 0 only, then assemble the global chi2 over ICI
+        chi_e = chi_e * (jax.lax.axis_index(sp_axis) == 0)
+        return jax.lax.psum(chi_obs + chi_e, sp_axis)
     return chi_obs + chi_e
 
 
-def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber):
-    """One linearization: dense block H_cc, W, H_pp, gradients."""
+def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber,
+                            sp_axis=None):
+    """One linearization: dense block H_cc, W, H_pp, gradients.
+
+    With `sp_axis`, the observation arrays in `prob` are the LOCAL shard of a
+    mesh-sharded problem: each shard scatter-adds its own observations and
+    the full system is assembled with one psum over ICI (edges, replicated,
+    contribute from shard 0 only)."""
     focal, ppx, ppy, baseline = cam_params
     P = prob.R.shape[0]
     L = prob.psi.shape[0]
@@ -288,6 +299,8 @@ def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber):
     # edge error convention: err = d, minimize d^T Info d; H += J^T Info J,
     # g += -J^T Info d (Gauss-Newton on err -> update xi = solve(H, g))
     W_e = prob.edge_info * emask[:, None, None]
+    if sp_axis is not None:
+        W_e = W_e * (jax.lax.axis_index(sp_axis) == 0)
     JiW = jnp.einsum("nji,njk->nik", Ji, W_e)  # Ji^T W  (6x6)
     JjW = jnp.einsum("nji,njk->nik", Jj, W_e)
     i, j = prob.edge_i, prob.edge_j
@@ -301,6 +314,11 @@ def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber):
     g_c = g_c.at[i].add(-jnp.einsum("nij,nj->ni", JiW, d))
     g_c = g_c.at[j].add(-jnp.einsum("nij,nj->ni", JjW, d))
 
+    if sp_axis is not None:
+        # the ICI collective: full normal equations from per-shard partials
+        Hcc, Wcp, Hpp, g_c, g_p = jax.lax.psum(
+            (Hcc, Wcp, Hpp, g_c, g_p), sp_axis
+        )
     return Hcc, Wcp, Hpp, g_c, g_p
 
 
@@ -326,13 +344,14 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "sp_axis"))
 def solve_ba(
     cam_params,  # (focal, ppx, ppy, baseline) — level-0 camera
     prob: BAProblem,
     iters: int = 2,
     huber: float = 3.0,
     lambda0: float = 50.0,
+    sp_axis=None,  # mesh axis name when obs are sharded (see parallel/)
 ):
     """LM with `iters` accepted-or-rejected rounds (g2o parity:
     OptParams(2 iters, Huber 3), lambda0 = 50). Returns
@@ -342,13 +361,13 @@ def solve_ba(
     R, t, psi = prob.R, prob.t, prob.psi
     lam = jnp.float32(lambda0)
 
-    chi2_0 = _chi2(cam_params, prob, R, t, psi, huber)
+    chi2_0 = _chi2(cam_params, prob, R, t, psi, huber, sp_axis)
     free = (prob.pose_valid & ~prob.pose_fixed).astype(jnp.float32)
 
     def lm_round(carry, _):
         R, t, psi, lam, chi2 = carry
         Hcc, Wcp, Hpp, g_c, g_p = _build_normal_equations(
-            cam_params, prob, R, t, psi, huber
+            cam_params, prob, R, t, psi, huber, sp_axis
         )
         # damp
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=Hpp.dtype)[None]
@@ -387,7 +406,8 @@ def solve_ba(
         # apply: left-mult pose update, additive psi update
         T_new = SE3.exp(dc) @ SE3(R, t)
         psi_new = psi + dp
-        chi2_new = _chi2(cam_params, prob, T_new.R, T_new.t, psi_new, huber)
+        chi2_new = _chi2(cam_params, prob, T_new.R, T_new.t, psi_new, huber,
+                         sp_axis)
         accept = chi2_new < chi2
         R_n = jnp.where(accept, T_new.R, R)
         t_n = jnp.where(accept, T_new.t, t)
@@ -399,9 +419,11 @@ def solve_ba(
     (R, t, psi, lam, chi2), _ = jax.lax.scan(
         lm_round, (R, t, psi, lam, chi2_0), None, length=iters
     )
+    n_obs = jnp.sum(prob.obs_valid.astype(jnp.int32))
+    if sp_axis is not None:
+        n_obs = jax.lax.psum(n_obs, sp_axis)
     stats = BAStats(
-        chi2_0, chi2,
-        jnp.sum(prob.obs_valid.astype(jnp.int32)),
+        chi2_0, chi2, n_obs,
         jnp.sum(prob.edge_valid.astype(jnp.int32)),
     )
     return R, t, psi, stats

@@ -141,3 +141,52 @@ def shard_stream_batch(mesh: Mesh, arrays_specs):
     for arr, spec in arrays_specs:
         out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
     return out
+
+
+def build_sharded_ba(mesh: Mesh, cam_params, iters: int = 2,
+                     huber: float = 3.0, axis: str = "sp"):
+    """Jitted DWO bundle-adjustment solve with the OBSERVATION axis sharded
+    over the mesh's `axis`: each device scatter-adds the normal-equation
+    contributions of its observation slice and one `psum` over ICI assembles
+    the (P*6)^2 Schur system, which every shard then factorizes redundantly
+    (replicated solve — the system is tiny next to the linearization work).
+
+    Pose/point/edge tables are replicated; only obs_{pose,point,uvu,weight,
+    valid} are sharded. Returns (R, t, psi, chi2_final), all replicated.
+
+    This is the multi-chip scaling path for the backend: the reference has
+    no analogue (single-node g2o, SURVEY.md §2) — the layout is chosen for
+    the hardware, not translated.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from scavislam_tpu.models.ba_solver import BAProblem, solve_ba
+
+    def local_solve(prob: BAProblem):
+        R, t, psi, stats = solve_ba(
+            cam_params, prob, iters=iters, huber=huber, sp_axis=axis
+        )
+        return R, t, psi, stats.chi2_final
+
+    rep = P()
+    obs_sharded = P(axis)
+    in_spec = BAProblem(
+        R=rep, t=rep, pose_valid=rep, pose_fixed=rep,
+        psi=rep, anchor_slot=rep, point_valid=rep,
+        obs_pose=obs_sharded, obs_point=obs_sharded,
+        obs_uvu=P(axis, None), obs_weight=obs_sharded,
+        obs_valid=obs_sharded,
+        edge_i=rep, edge_j=rep, edge_R=rep, edge_t=rep,
+        edge_info=rep, edge_valid=rep,
+    )
+    step = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -71,3 +71,41 @@ class TestMultiStream:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_1),
                                    atol=1e-5)
+
+
+class TestShardedBA:
+    """DWO bundle adjustment with the observation axis sharded over "sp"
+    (parallel.multistream.build_sharded_ba): partial normal equations per
+    shard + one psum over the mesh must reproduce the single-device solve
+    bit-for-bit."""
+
+    def test_matches_single_device(self):
+        import __graft_entry__ as G
+        from jax.sharding import Mesh
+        from scavislam_tpu.models.ba_solver import solve_ba
+        from scavislam_tpu.parallel.multistream import build_sharded_ba
+
+        fn, (prob,) = G.entry()
+        cam_params = (389.96, 254.9, 201.9, 0.12)
+        R1, t1, psi1, stats = solve_ba(cam_params, prob, iters=2)
+
+        devs = np.array(jax.devices()[:8]).reshape(1, 8)
+        mesh = Mesh(devs, ("dp", "sp"))
+        step = build_sharded_ba(mesh, cam_params, iters=2)
+        rep, sp = P(), P("sp")
+        specs = dict(R=rep, t=rep, pose_valid=rep, pose_fixed=rep, psi=rep,
+                     anchor_slot=rep, point_valid=rep,
+                     obs_pose=sp, obs_point=sp, obs_uvu=P("sp", None),
+                     obs_weight=sp, obs_valid=sp,
+                     edge_i=rep, edge_j=rep, edge_R=rep, edge_t=rep,
+                     edge_info=rep, edge_valid=rep)
+        prob_sh = type(prob)(**{
+            k: jax.device_put(getattr(prob, k), NamedSharding(mesh, specs[k]))
+            for k in specs
+        })
+        R2, t2, psi2, chi2 = step(prob_sh)
+        assert abs(float(stats.chi2_final) - float(chi2)) <= (
+            1e-3 * max(1.0, float(stats.chi2_final)))
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(psi1), np.asarray(psi2),
+                                   atol=1e-5)

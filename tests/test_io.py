@@ -95,3 +95,68 @@ class TestConfig:
         assert cfg.framepipe.right_img is False
         assert abs(cfg.ui.parallax_thr - 0.15) < 1e-7
         assert abs(cfg.ui.max_reproj_error - 3.0) < 1e-7
+
+
+class TestRgbdGrabber:
+    """Live RGB-D grabber monitor semantics (rgbd_grabber.cpp:15-41):
+    latest-frame-wins under a mutex, polling consumer."""
+
+    def test_latest_value_polling(self):
+        import numpy as np
+        from scavislam_tpu.io.rgbd_grabber import RgbdGrabber
+
+        frames = iter(range(100))
+
+        def source():
+            i = next(frames, None)
+            if i is None:
+                return None
+            rgb = np.full((4, 4), i, np.uint8)
+            disp = np.full((4, 4), float(i), np.float32)
+            return rgb, disp
+
+        g = RgbdGrabber()
+        g.start(source, fps=500.0)
+        import time
+        got = []
+        t0 = time.time()
+        while len(got) < 5 and time.time() - t0 < 5.0:
+            f = g.getFrame()
+            if f is not None:
+                rgb, disp = f
+                assert rgb[0, 0] == int(disp[0, 0])
+                got.append(int(rgb[0, 0]))
+            time.sleep(0.005)
+        g.stop()
+        assert len(got) == 5
+        # frames are the NEWEST at poll time: strictly increasing
+        assert all(b > a for a, b in zip(got, got[1:]))
+        # a second poll with no new frame returns None
+        g2 = RgbdGrabber()
+        assert g2.getFrame() is None
+
+    def test_directory_replay_source(self, tmp_path):
+        import numpy as np
+        from scavislam_tpu.apps.dump_sequence import record
+        from scavislam_tpu.core.camera import StereoCamera
+        from scavislam_tpu.io.rgbd_grabber import RgbdGrabber, directory_source
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+
+        cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+        seq = SyntheticSequence(cam, n_frames=3, step=0.01)
+        record(iter(seq), str(tmp_path), with_disp=True)
+
+        g = RgbdGrabber()
+        g.start(directory_source(str(tmp_path)), fps=200.0)
+        import time
+        f = None
+        t0 = time.time()
+        while f is None and time.time() - t0 < 5.0:
+            f = g.getFrame()
+            time.sleep(0.005)
+        g.stop()
+        assert f is not None
+        rgb, disp = f
+        assert rgb.shape[:2] == (192, 256)
+        assert disp.shape == (192, 256)
+        assert np.isfinite(disp).all()

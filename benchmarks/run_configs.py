@@ -127,6 +127,7 @@ def config2(n=90):
     system = _system(cam, cfg, threaded=True, enable_loop_closure=True)
     system.place_recognizer.score_thr = 0.05
     system.place_recognizer.min_inliers = 15
+    system.place_recognizer.warmup()
     fps, ate, system = _run_frames(system, frames)
     from scavislam_tpu.models.slam_graph import APPEARANCE, METRIC
 

@@ -47,13 +47,17 @@ MAX_KEYPOINTS = 256
 class Place:
     """Stored location (parity: Place, placerecognizer.h)."""
 
-    def __init__(self, kf_id, words, desc, uvd, xyz, exclude):
+    def __init__(self, kf_id, words, desc, uvd, xyz, exclude,
+                 padded=None):
         self.kf_id = kf_id
         self.words = words  # (N,) word ids
         self.desc = desc  # (N, 128)
         self.uvd = uvd  # (N, 3) u, v, disparity
         self.xyz = xyz  # (N, 3) camera-frame points
         self.exclude = exclude  # covisible kf ids at insertion time
+        # fixed-capacity (MAX_KEYPOINTS) padded views for the DEVICE-side
+        # geometric check — variable-length arrays recompile per shape
+        self.padded = padded  # (desc_p, xyz_p, valid_p) or None
 
 
 def default_vocabulary(k=1024, dim=128, seed=0) -> np.ndarray:
@@ -129,10 +133,34 @@ class PlaceRecognizer:
             if not did:
                 time.sleep(0.001)
 
+    def warmup(self):
+        """Compile every device program of the PR path once (describe +
+        match + RANSAC + refine). Without this the first geometric check
+        compiles mid-run (~10-30 s over a remote link) while the input
+        mailbox drops every arriving keyframe."""
+        h, w = self.cam.size[1], self.cam.size[0]
+        img = jnp.zeros((h, w), jnp.float32)
+        disp = jnp.ones((h, w), jnp.float32) * 5.0
+        words, desc, uvd, xyz, valid = self.describe(img, disp)
+        n = desc.shape[0]
+        va = jnp.ones(n, bool)
+        idx_b, ok = match_descriptors(jnp.asarray(desc), jnp.asarray(desc),
+                                      valid_a=va, valid_b=va)
+        self._key, sub = jax.random.split(self._key)
+        cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
+                      self.cam.baseline)
+        R, t, inl, n_in = ransac_se3(
+            sub, jnp.asarray(xyz), jnp.asarray(xyz), va, cam_params,
+            inlier_thr=3.0, num_hypotheses=256)
+        refine_se3_from_inliers(jnp.asarray(xyz), jnp.asarray(xyz), inl)
+        np.asarray(n_in)
+
     def add_location(self, data: dict):
         """Parity: addLocation (placerecognizer.cpp:206-324)."""
         kf_id = data["kf_id"]
         words, desc, uvd, xyz, valid = self.describe(data["img"], data["disp"])
+        padded = (np.asarray(desc, np.float32), np.asarray(xyz, np.float32),
+                  np.asarray(valid, bool))
         words = words[valid]
         desc = desc[valid]
         uvd = uvd[valid]
@@ -141,7 +169,7 @@ class PlaceRecognizer:
 
         # TF-IDF scoring against existing locations (calcLoopStatistics)
         scores = self._score(words, exclude)
-        place = Place(kf_id, words, desc, uvd, xyz, exclude)
+        place = Place(kf_id, words, desc, uvd, xyz, exclude, padded=padded)
         self.location_map[kf_id] = place
         for w, c in zip(*np.unique(words, return_counts=True)):
             self.inverted_index[int(w)][kf_id] = int(c)
@@ -176,21 +204,35 @@ class PlaceRecognizer:
 
     def _geometric_check(self, query: Place, cand: Place):
         """BF match + vmapped 3-point RANSAC (placerecognizer.cpp:174-202).
-        Returns DetectedLoop with T_query_from_loop or None."""
+        Returns DetectedLoop with T_query_from_loop or None.
+
+        All device calls use FIXED-CAPACITY padded arrays (MAX_KEYPOINTS):
+        the filtered variable-length descriptors recompiled the match/RANSAC
+        programs per distinct count (7-30 s each over a remote link — it
+        starved the indexing thread and made loop detection flaky)."""
         if len(query.words) < 3 or len(cand.words) < 3:
             return None
+        if query.padded is not None and cand.padded is not None:
+            desc_a, xyz_qa, valid_a = query.padded
+            desc_b, xyz_cb, valid_b = cand.padded
+        else:  # legacy unpadded places (tests constructing Place directly)
+            desc_a, xyz_qa = query.desc, query.xyz
+            valid_a = np.ones(len(desc_a), bool)
+            desc_b, xyz_cb = cand.desc, cand.xyz
+            valid_b = np.ones(len(desc_b), bool)
         idx_b, ok = match_descriptors(
-            jnp.asarray(query.desc), jnp.asarray(cand.desc)
+            jnp.asarray(desc_a), jnp.asarray(desc_b),
+            valid_a=jnp.asarray(valid_a), valid_b=jnp.asarray(valid_b),
         )
         idx_b = np.asarray(idx_b)
         ok = np.asarray(ok)
         if ok.sum() < 3:
             return None
         # correspondences: loop(cand) points -> query points
-        n = len(query.words)
+        n = len(desc_a)
         xyz_a = np.zeros((n, 3), np.float32)  # cand/loop frame
-        xyz_b = query.xyz.astype(np.float32)  # query frame
-        xyz_a[ok] = cand.xyz[idx_b[ok]]
+        xyz_b = np.asarray(xyz_qa, np.float32)  # query frame
+        xyz_a[ok] = np.asarray(xyz_cb, np.float32)[idx_b[ok]]
         self._key, sub = jax.random.split(self._key)
         cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
                       self.cam.baseline)

@@ -96,15 +96,24 @@ def compute_descriptors(
 
 
 def match_descriptors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
-                      ratio: float = 0.8):
+                      ratio: float = 0.8,
+                      valid_a: jnp.ndarray = None,
+                      valid_b: jnp.ndarray = None):
     """Brute-force mutual matching with Lowe ratio test; one matmul.
 
     Returns (idx_b (Na,), valid (Na,)): best match in b for each a.
     (Parity surface: the BFMatcher step of the reference's geometric check,
     placerecognizer.cpp:174-202.)
+
+    `valid_a`/`valid_b` support FIXED-CAPACITY padded descriptor tables
+    (invalid rows excluded from matching): callers must pad rather than
+    filter — a variable row count recompiles this program per distinct
+    (Na, Nb) pair (measured 7-30 s per recompile over a remote link).
     """
     sim = jnp.einsum("nd,md->nm", desc_a, desc_b,
                      preferred_element_type=jnp.float32)
+    if valid_b is not None:
+        sim = jnp.where(valid_b[None, :], sim, -jnp.inf)
     # distance^2 = 2 - 2 sim for unit vectors
     best = jnp.argmax(sim, axis=1)
     s1 = jnp.max(sim, axis=1)
@@ -113,4 +122,7 @@ def match_descriptors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
     d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
     ok = d1 < ratio * d2
+    ok = ok & jnp.isfinite(s1)
+    if valid_a is not None:
+        ok = ok & valid_a
     return best, ok

@@ -178,6 +178,25 @@ def _bm_kernel(
          jnp.full((rows, width), BIG, jnp.float32)),
     )
 
+    # ---- left-right consistency IN-KERNEL: we need bestr[u - best[u]],
+    # a per-pixel variable shift. As an XLA take_along_axis in the wrapper
+    # this was a 196k-element gather costing 2 ms/frame — 4x the rest of
+    # the kernel. Here: 64 select iterations over an incrementally-rolled
+    # bestr (static roll-by-1), pure VPU.
+    def lrsel(k, carry):
+        lr, br = carry
+        for j in range(UNROLL):
+            d = k * UNROLL + j
+            lr = jnp.where(best == d, br, lr)
+            br = pltpu.roll(br, 1, axis=1)
+        return (lr, br)
+
+    d_r_at, _ = jax.lax.fori_loop(
+        0, num_disp // UNROLL, lrsel,
+        (jnp.full((rows, width), -99, jnp.int32), bestr),
+    )
+    lr_ok = jnp.abs(best - d_r_at) <= 1
+
     bf = best.astype(jnp.float32)
     denom = c_m + c_p - 2.0 * cmin
     interior = (best > 0) & (best < num_disp - 1) & (c_m < BIG) & (c_p < BIG)
@@ -200,6 +219,7 @@ def _bm_kernel(
         & (tex / full > tex_thr)
         & (best > 0)
         & in_img
+        & lr_ok
     )
     disp_ref[:, :] = jnp.where(valid, disp, -1.0)
     best_ref[:, :] = best
@@ -269,9 +289,6 @@ def block_matching_disparity_pallas(
         interpret=interpret,
     )(lf_p, rf_p)
 
-    # left-right consistency: one cheap (H, W) gather in XLA
-    uu = jnp.arange(w)[None, :]
-    u_r = jnp.clip(uu - best, 0, w - 1)
-    d_r_at = jnp.take_along_axis(bestr, u_r, axis=1)
-    lr_ok = jnp.abs(best - d_r_at) <= 1
-    return jnp.where(lr_ok, disp, -1.0)
+    # left-right consistency is applied inside the kernel (no XLA gather)
+    del best, bestr
+    return disp

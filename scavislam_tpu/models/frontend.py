@@ -20,8 +20,10 @@ memory; the device tables remain the single source of truth for compute.
 
 from __future__ import annotations
 
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -145,12 +147,22 @@ class StereoFrontend:
         self._tracked_levels = np.zeros((0,), np.int64)
         self.per_mon = None  # optional named-stage timer (set by SlamSystem)
 
-        # pipelined mode state: device-resident pose chain + in-flight frame
+        # pipelined mode state: device-resident pose chain + in-flight frames
         self._cand_np = None
         self._cand_dev = None
         self._dev_R_cw = None  # device arrays chaining the world pose
         self._dev_t_cw = None
-        self._pending = None  # (frame_id, cand_ids_np, FrontendStepOut, fut)
+        # in-flight frame queue; each entry is a mutable list
+        # [frame_id, cand_ids_np, FrontendStepOut, fut, corr_R, corr_t]
+        # where (corr_R, corr_t) right-corrects the fetched world pose for
+        # backend rebases that happened after the frame was dispatched
+        self._pending = deque()
+        # how many frames stay in flight before results are consumed. Depth 2
+        # gives each packed fetch TWO frame periods to complete: one link
+        # round-trip (~30 ms) exceeds a 60 fps frame period, so at depth 1
+        # the consume blocks ~16 ms/frame on the fetch (measured). Keyframe
+        # policy lags `depth` frames.
+        self.pipeline_depth = 2
         # 3 workers: each fetch is one link round-trip (~30 ms on a remote
         # chip); with one worker the fetch THROUGHPUT (1/RT) caps the frame
         # rate even though the latency is hidden. Concurrent round-trips
@@ -327,44 +339,63 @@ class StereoFrontend:
 
     # -- pipelined mode ------------------------------------------------------ #
     def process_frame_pipelined(self, frame: dict):
-        """Dispatch this frame, then consume the PREVIOUS frame's results
-        (fetch + keyframe policy). The device pose chain advances without
-        waiting for the host, so the link round-trip and the host policy
-        overlap the next frame's device execution. Keyframe decisions lag one
-        frame relative to the synchronous mode (the reference creates the
-        keyframe within the same processFrame; one camera period of extra
+        """Dispatch this frame, then consume the results of the frame
+        dispatched `pipeline_depth` frames ago (fetch + keyframe policy).
+        The device pose chain advances without waiting for the host, so the
+        link round-trip and the host policy overlap the in-flight frames'
+        device execution. Keyframe decisions lag `pipeline_depth` frames
+        relative to the synchronous mode (the reference creates the keyframe
+        within the same processFrame; a couple of camera periods of extra
         parallax is well inside its own thresholds).
 
-        Returns (success, dropped) for the PREVIOUS frame, or None if this is
-        the first pipelined frame (nothing to consume yet)."""
+        Returns (success, dropped, consumed_frame_id) for the consumed frame,
+        or None while the pipeline is still filling."""
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
         # fetch `packed` in a helper thread: on a remote chip the download is
         # a full link round-trip (~30 ms) that would otherwise sit SERIALLY
-        # in the frame loop — started here, it overlaps this frame's device
-        # execution and is already resolved when the next frame consumes it
+        # in the frame loop — started here, it overlaps the in-flight frames'
+        # device execution and is already resolved when consumed
         fut = self._fetch_pool.submit(np.asarray, out.packed)
-        prev = self._pending
-        self._pending = (self.frame_id, cand_ids, out, fut)
+        self._pending.append([self.frame_id, cand_ids, out, fut, None, None])
         self._roll(out)
-        if prev is None:
+        if len(self._pending) <= max(1, self.pipeline_depth):
             return None
-        return self._consume(*prev)
+        entry = self._pending.popleft()
+        fid = entry[0]
+        success, dropped = self._consume(*entry[1:])
+        return success, dropped, fid
 
     def flush_pipeline(self):
-        """Consume the in-flight frame (end of sequence)."""
-        if self._pending is None:
-            return None
-        prev = self._pending
-        self._pending = None
-        return self._consume(*prev)
+        """Consume ALL in-flight frames (end of sequence). Returns a list of
+        (success, dropped, frame_id, world_pose, keyframe_packet_or_None),
+        stopping at the first failure. Pose and packet are captured at each
+        consume — by the time the caller iterates, later consumes have
+        already advanced the frontend state."""
+        results = []
+        while self._pending:
+            entry = self._pending.popleft()
+            fid = entry[0]
+            success, dropped = self._consume(*entry[1:])
+            pkt = self.to_optimizer_stack[-1] if dropped else None
+            results.append((success, dropped, fid, self._world_pose(), pkt))
+            if not success:
+                self._pending.clear()
+                break
+        return results
 
-    def _consume(self, frame_id, cand_ids, out: FrontendStepOut, fut=None):
+    def _consume(self, cand_ids, out: FrontendStepOut, fut=None,
+                 corr_R=None, corr_t=None):
         C = CAND_CAP
         pk = fut.result() if fut is not None else np.asarray(out.packed)
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
+        if corr_R is not None:
+            # this frame was dispatched before a backend rebase: apply the
+            # same right-multiplicative world correction the chain received
+            t_cw = R_cw @ corr_t + t_cw
+            R_cw = R_cw @ corr_R
         R_cak = pk[12:21].reshape(3, 3)
         t_cak = pk[21:24]
         n_matched, n_gated, t_norm, mean_track_len = pk[24:28]
@@ -619,15 +650,61 @@ class StereoFrontend:
                     self.points.psi, jnp.asarray(idx), jnp.asarray(vals)
                 )
             )
-        # keep world pose consistent with the (possibly moved) actkey
+        # keep world pose consistent with the (possibly moved) actkey.
+        # SVD-project the product back onto SO(3): each adoption multiplies
+        # more near-rotations together, and without the projection the
+        # orthonormality error grows ~3x per adoption (measured — it loses
+        # tracking within ~13 adoptions on the 360-spin system test).
+        R_old, t_old = self._R_cw.copy(), self._t_cw.copy()
         Rk, tk = self.pose_np[self.actkey_id]
-        self._R_cw = (self._R_cak @ Rk).astype(np.float32)
+        self._R_cw = _project_so3(self._R_cak @ Rk)
         self._t_cw = (self._R_cak @ tk + self._t_cak).astype(np.float32)
-        self._dev_R_cw = None  # world pose rebased on host: re-seed the chain
-        self._dev_t_cw = None
+        # Propagate the rebase to the in-flight device pose chain EXACTLY:
+        # every chained pose is T_j = T_j<-c ∘ T_cw_old (c = the frame whose
+        # pose we just rebased), so the fix is one right-multiplication by
+        # D = T_cw_old^-1 ∘ T_cw_new. (Re-seeding the chain from the host
+        # pose instead would drop the in-flight frames' dense-tracking
+        # deltas — a permanent 1-2 frame motion skew in the trajectory.)
+        if self._dev_R_cw is not None and np.isfinite(R_old).all():
+            D_R = (R_old.T @ self._R_cw).astype(np.float32)
+            D_t = (R_old.T @ (self._t_cw - t_old)).astype(np.float32)
+            self._dev_R_cw, self._dev_t_cw = _compose_right(
+                self._dev_R_cw, self._dev_t_cw,
+                jnp.asarray(D_R), jnp.asarray(D_t),
+            )
+            # already-fetched (or in-fetch) packed results of in-flight
+            # frames are raw: record the correction for their consume
+            for entry in self._pending:
+                if entry[4] is None:
+                    entry[4], entry[5] = D_R, D_t
+                else:
+                    cR, ct = entry[4], entry[5]
+                    entry[4] = (cR @ D_R).astype(np.float32)
+                    entry[5] = (cR @ D_t + ct).astype(np.float32)
         self.neighborhood = nb
         self._cand_np = None  # neighborhood may add candidates
         return True
+
+
+def _project_so3(R: np.ndarray) -> np.ndarray:
+    """Nearest rotation matrix (Frobenius) via SVD, host-side."""
+    u, _, vt = np.linalg.svd(R.astype(np.float64))
+    u[:, 2] *= np.sign(np.linalg.det(u @ vt))
+    return (u @ vt).astype(np.float32)
+
+
+@jax.jit
+def _compose_right(R, t, D_R, D_t):
+    """(R,t) ∘ (D_R,D_t): right-multiply a pose by a correction, then
+    re-orthonormalize by Gram-Schmidt on the rows (handedness preserved via
+    the cross product) — the correction chain must not accumulate
+    non-orthonormality (see apply_neighborhood)."""
+    Rc = R @ D_R
+    r0 = Rc[0] / jnp.linalg.norm(Rc[0])
+    r1 = Rc[1] - jnp.dot(Rc[1], r0) * r0
+    r1 = r1 / jnp.linalg.norm(r1)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2]), R @ D_t + t
 
 
 def _to_u8(img: np.ndarray) -> np.ndarray:

@@ -80,7 +80,6 @@ class SlamSystem:
         # pipelined: overlap the device step with the host fetch/policy of
         # the previous frame (keyframe decisions lag one frame)
         self.pipelined = pipelined
-        self._inflight_id = None
 
         if threaded:
             t_be = threading.Thread(
@@ -124,12 +123,10 @@ class SlamSystem:
         pm.start("dense tracking")
         if self.pipelined:
             res = self.frontend.process_frame_pipelined(frame)
-            consumed_id = self._inflight_id
-            self._inflight_id = frame.get("frame_id", len(self.trajectory))
             if res is None:
                 pm.stop("dense tracking")
-                return True  # first frame in flight; nothing consumed yet
-            success, dropped = res
+                return True  # pipeline still filling; nothing consumed yet
+            success, dropped, consumed_id = res
         else:
             success, dropped = self.frontend.process_frame(frame)
             consumed_id = frame.get("frame_id", len(self.trajectory))
@@ -201,16 +198,15 @@ class SlamSystem:
             loop = self.backend_monitor.getClosedLoop()
 
     def _flush_frontend(self):
-        if self.pipelined and self.frontend._pending is not None:
-            res = self.frontend.flush_pipeline()
-            if res is not None and res[0]:
-                self.trajectory.append(
-                    (self._inflight_id, self.frontend._world_pose())
-                )
-                if res[1]:  # the in-flight frame dropped a keyframe
-                    self.backend_monitor.pushKeyframe(
-                        self.frontend.to_optimizer_stack[-1]
-                    )
+        if self.pipelined and len(self.frontend._pending) > 0:
+            for success, dropped, fid, pose, pkt in \
+                    self.frontend.flush_pipeline():
+                if not success:
+                    self.tracking_ok = False
+                    break
+                self.trajectory.append((fid, pose))
+                if dropped:  # this in-flight frame dropped a keyframe
+                    self.backend_monitor.pushKeyframe(pkt)
 
     def shutdown(self):
         self._flush_frontend()

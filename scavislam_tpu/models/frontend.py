@@ -231,6 +231,9 @@ class StereoFrontend:
             self._cam_params, self._cam_statics,
             self.levels, self._num_disp, bool(use_ext),
             float(self.cfg.ui.max_reproj_error), 0.18,
+            int(self.cfg.ui.stereo_method),
+            (int(self.cfg.ui.stereo_iters), int(self.cfg.ui.stereo_levels),
+             int(self.cfg.ui.stereo_nr_plane)),
         )
         self._dev_R_cw = out.R_cw
         self._dev_t_cw = out.t_cw

@@ -213,7 +213,7 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
     jax.jit,
     static_argnames=(
         "cam_statics", "levels", "num_disp", "use_external_disp",
-        "max_reproj_err", "zmssd_thr",
+        "max_reproj_err", "zmssd_thr", "stereo_method", "stereo_opts",
     ),
 )
 def frontend_step(
@@ -233,6 +233,8 @@ def frontend_step(
     use_external_disp: bool = False,
     max_reproj_err: float = 2.0,
     zmssd_thr: float = 0.18,
+    stereo_method: int = 2,  # 1/2 BM, 3 BP, 4 CSBP (stereo_frontend.cpp:535)
+    stereo_opts: tuple = (4, 4, 4),  # (iters, levels, nr_plane) for BP/CSBP
 ) -> FrontendStepOut:
     # -- 1. unpack + preprocess (uint8 frames normalized on device)
     if frames_stacked.dtype == jnp.uint8:
@@ -250,10 +252,26 @@ def frontend_step(
         dys.append(dy_)
     dxs, dys = tuple(dxs), tuple(dys)
 
-    # -- 2. disparity
+    # -- 2. disparity (runtime-selectable like the reference's 4 methods,
+    # stereo_frontend.cpp:530-614; the method is a static arg, so each
+    # selection compiles its own fused program)
     if use_external_disp:
         disp = external_disp
-    elif _USE_PALLAS_BM and img.shape[0] % 32 == 0:
+    elif stereo_method == 3:
+        from scavislam_tpu.ops.stereo_bp import belief_propagation_disparity
+
+        disp = belief_propagation_disparity(
+            img, right, num_disp=num_disp,
+            iters=max(5, stereo_opts[0]), levels=max(4, stereo_opts[1]),
+        )
+    elif stereo_method == 4:
+        from scavislam_tpu.ops.stereo_bp import constant_space_bp_disparity
+
+        disp = constant_space_bp_disparity(
+            img, right, num_disp=num_disp, iters=stereo_opts[0],
+            levels=stereo_opts[1], nr_plane=stereo_opts[2],
+        )
+    elif stereo_method != 1 and _USE_PALLAS_BM and img.shape[0] % 32 == 0:
         from scavislam_tpu.ops.stereo_pallas import (
             block_matching_disparity_pallas,
         )
@@ -262,6 +280,7 @@ def frontend_step(
             img, right, num_disp=num_disp, radius=5
         )
     else:
+        # method 1 (the reference's CPU StereoBM) maps to the XLA twin
         disp = block_matching_disparity(img, right, num_disp=num_disp,
                                         radius=5)
 

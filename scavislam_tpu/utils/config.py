@@ -74,8 +74,13 @@ class UIConfig:
     max_reproj_error: float = 2.0
     num_max_points: int = 300
     min_num_points: int = 15
-    stereo_method: int = 2  # reference default: GPU block matching
+    stereo_method: int = 2  # 1 CPU-BM twin / 2 BM (default) / 3 BP / 4 CSBP
     num_disp16: int = 4  # x16 disparities
+    # BP/CSBP knobs (reference: ui.stereo_iters/levels/nr_plane Vars,
+    # stereo_frontend.cpp:597-600)
+    stereo_iters: int = 4
+    stereo_levels: int = 4
+    stereo_nr_plane: int = 4
 
 
 @dataclass(frozen=True)

@@ -32,7 +32,7 @@ def main():
         (cfg.cam.width, cfg.cam.height), cfg.cam.baseline,
     )
 
-    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     warmup = 6
 
     import jax.numpy as jnp

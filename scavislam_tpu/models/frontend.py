@@ -152,6 +152,12 @@ class StereoFrontend:
         self._cand_dev = None
         self._dev_R_cw = None  # device arrays chaining the world pose
         self._dev_t_cw = None
+        # deferred keyframe spawn: (rec, pkt_args) whose payload fetch is in
+        # flight; finalized once the fetch lands (pipelined mode only)
+        self._pending_spawn = None
+        # finalized AddToOptimizer packets not yet handed to the system
+        # (SlamSystem drains this every frame and pushes to the backend)
+        self._ready_packets = []
         # in-flight frame queue; each entry is a mutable list
         # [frame_id, cand_ids_np, FrontendStepOut, fut, corr_R, corr_t]
         # where (corr_R, corr_t) right-corrects the fetched world pose for
@@ -163,12 +169,14 @@ class StereoFrontend:
         # the consume blocks ~16 ms/frame on the fetch (measured). Keyframe
         # policy lags `depth` frames.
         self.pipeline_depth = 2
-        # 3 workers: each fetch is one link round-trip (~30 ms on a remote
+        # 4 workers: each fetch is one link round-trip (~30 ms on a remote
         # chip); with one worker the fetch THROUGHPUT (1/RT) caps the frame
         # rate even though the latency is hidden. Concurrent round-trips
         # overlap on the link; per-frame futures keep results ordered.
+        # Sized for depth-2 pipelining (2 frame fetches) + a spawn-payload
+        # fetch + one frame of slack.
         self._fetch_pool = ThreadPoolExecutor(
-            max_workers=3, thread_name_prefix="packed-fetch"
+            max_workers=4, thread_name_prefix="packed-fetch"
         )
 
     # -- public pose accessors ------------------------------------------- #
@@ -386,11 +394,29 @@ class StereoFrontend:
             if not success:
                 self._pending.clear()
                 break
+        if self._pending_spawn is not None:
+            # a keyframe decided at the last consume: finalize its packet now
+            # (fid None — no trajectory entry, just the backend push)
+            rec, pkt_args = self._pending_spawn
+            self._pending_spawn = None
+            pkt = self._finalize_keyframe(rec, pkt_args)
+            results.append((True, True, None, None, pkt))
         return results
 
     def _consume(self, cand_ids, out: FrontendStepOut, fut=None,
                  corr_R=None, corr_t=None):
         C = CAND_CAP
+        # a keyframe decided at an earlier consume finalizes once its spawn
+        # payload fetch has landed (the spawn program runs behind the
+        # in-flight frame programs, so forcing it at the very next consume
+        # would block ~3 frame periods — measured ~50 ms)
+        spawn_landed = False
+        if (self._pending_spawn is not None
+                and self._pending_spawn[0]["fut"].done()):
+            rec, pkt_args = self._pending_spawn
+            self._pending_spawn = None
+            self._finalize_keyframe(rec, pkt_args)
+            spawn_landed = True
         pk = fut.result() if fut is not None else np.asarray(out.packed)
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
@@ -424,7 +450,6 @@ class StereoFrontend:
         self._tracked_levels = levels_arr[gate]
         self.draw_data.tracked_uv = obs_all[gate][:, :2]
 
-        dropped = False
         switched = self._maybe_switch_keyframe(
             float(np.linalg.norm(self._t_cak))
         )
@@ -434,11 +459,12 @@ class StereoFrontend:
         ):
             if self.per_mon is not None:
                 self.per_mon.start("drop keyframe")
-            self._add_new_keyframe(out)
+            # decision + device dispatch now; the packet (and the `dropped`
+            # signal the caller uses to push it) land at the NEXT consume
+            self._add_new_keyframe(out, defer=True)
             if self.per_mon is not None:
                 self.per_mon.stop("drop keyframe")
-            dropped = True
-        return True, dropped
+        return True, spawn_landed
 
     # -- candidate assembly ------------------------------------------------ #
     def _collect_candidates(self) -> np.ndarray:
@@ -515,8 +541,11 @@ class StereoFrontend:
         self.next_kf += 1
         return kf
 
-    def _spawn(self, out: FrontendStepOut, kf_id: int, tracked_obs):
-        """Run the fused spawn program + host id allocation."""
+    def _spawn_dispatch(self, out: FrontendStepOut, kf_id: int, tracked_obs):
+        """Dispatch the fused spawn program + host id allocation; the payload
+        fetch (one link round-trip) resolves in a helper thread. Metas are
+        set optimistically for every allocated slot — the device table's
+        valid flags gate matching, and finalize clears the rejected slots."""
         caps = NEW_PER_LEVEL[: self.levels]
         # wrap-around recycling when the table fills: the oldest points'
         # slots are reused (their keyframes have long scrolled out of every
@@ -546,8 +575,17 @@ class StereoFrontend:
             self.levels, tuple(caps),
             float(self.cfg.frontend.newpoint_clearance),
         )
-        payloads = np.asarray(payloads)  # single fetch
+        for l, cap in enumerate(caps):
+            ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)
+            self._meta_anchor[ids] = kf_id
+            self._meta_level[ids] = l
+        fut = self._fetch_pool.submit(np.asarray, payloads)
+        return {"kf_id": kf_id, "caps": caps, "starts": starts, "fut": fut}
 
+    def _spawn_finalize(self, rec):
+        """Consume the spawn payload fetch: exact per-slot validity."""
+        payloads = rec["fut"].result()
+        caps, starts, kf_id = rec["caps"], rec["starts"], rec["kf_id"]
         all_ids, all_psi, all_lvl, all_uvu = [], [], [], []
         off = 0
         for l, cap in enumerate(caps):
@@ -558,8 +596,7 @@ class StereoFrontend:
             ok = payloads[off: off + cap] > 0.5
             off += cap
             ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)
-            self._meta_anchor[ids[ok]] = kf_id
-            self._meta_level[ids[ok]] = l
+            self._meta_anchor[ids[~ok]] = -1  # clear rejected slots
             all_ids.append(ids[ok])
             all_psi.append(psi[ok])
             all_lvl.append(np.full(int(ok.sum()), l, np.int64))
@@ -571,8 +608,26 @@ class StereoFrontend:
             np.concatenate(all_uvu),
         )
 
-    def _add_new_keyframe(self, out: FrontendStepOut):
-        """Parity: addNewKeyframe (stereo_frontend.cpp:309-443)."""
+    def _spawn(self, out: FrontendStepOut, kf_id: int, tracked_obs):
+        """Synchronous spawn (first frame + non-pipelined mode)."""
+        return self._spawn_finalize(
+            self._spawn_dispatch(out, kf_id, tracked_obs)
+        )
+
+    def _add_new_keyframe(self, out: FrontendStepOut, defer: bool = False):
+        """Parity: addNewKeyframe (stereo_frontend.cpp:309-443).
+
+        With defer=True (pipelined mode) the spawn payload fetch — one link
+        round-trip that would otherwise stall the frame loop ~30 ms — is
+        left in flight; the AddToOptimizer packet is finalized at the NEXT
+        consume (the backend receives the keyframe one frame later, well
+        inside its FIFO-queue semantics). Everything matching needs — device
+        point table, actkey switch, candidate ids — is in place immediately."""
+        if self._pending_spawn is not None:
+            # consecutive keyframe decisions: force the outstanding one out
+            rec, pkt_args = self._pending_spawn
+            self._pending_spawn = None
+            self._finalize_keyframe(rec, pkt_args)
         kf_id = self._new_keyframe_id()
         T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
         self.poses = self.poses.set(kf_id, T_cw)
@@ -589,27 +644,59 @@ class StereoFrontend:
         for a, c in strengths.items():
             self.covis.setdefault(a, {})[kf_id] = c
 
-        new_ids, new_psi, new_lvl, new_uvu = self._spawn(
-            out, kf_id, self._tracked_obs
-        )
-        self.kf_point_ids[kf_id] = np.concatenate(
-            [new_ids, self._tracked_ids]
-        )
+        rec = self._spawn_dispatch(out, kf_id, self._tracked_obs)
+        all_slots = np.concatenate([
+            np.arange(s, s + c, dtype=np.int64)
+            for s, c in zip(rec["starts"], rec["caps"])
+        ])
         self.keyframe_map[kf_id] = {
             "pyr": out.pyr, "disp": out.disp, "T_kw": T_cw,
         }
-        pkt = AddToOptimizer(
-            kf_id, T_cw, new_ids, new_psi, new_lvl, new_uvu,
-            self._tracked_ids.copy(), self._tracked_obs.copy(),
-            self._tracked_levels.copy(), strengths,
-            pyr=out.pyr, disp=out.disp,
-            points_snapshot=self.points, poses_snapshot=self.poses,
+        pkt_args = dict(
+            kf_id=kf_id, T_cw=T_cw,
+            tracked_ids=self._tracked_ids.copy(),
+            tracked_obs=self._tracked_obs.copy(),
+            tracked_levels=self._tracked_levels.copy(),
+            strengths=strengths, pyr=out.pyr, disp=out.disp,
         )
-        self.to_optimizer_stack.append(pkt)
+        if defer:
+            # optimistic candidate set: every allocated slot (device valid
+            # flags gate the rejected ones); exact ids land at finalize
+            self.kf_point_ids[kf_id] = np.concatenate(
+                [all_slots, self._tracked_ids]
+            )
+            self._pending_spawn = (rec, pkt_args)
+        else:
+            self._finalize_keyframe(rec, pkt_args)
         self.actkey_id = kf_id
         self._R_cak = np.eye(3, dtype=np.float32)
         self._t_cak = np.zeros(3, np.float32)
         self._cand_np = None
+
+    def _finalize_keyframe(self, rec, pkt_args) -> AddToOptimizer:
+        """Consume the spawn payloads, build + push the backend packet."""
+        new_ids, new_psi, new_lvl, new_uvu = self._spawn_finalize(rec)
+        kf_id = pkt_args["kf_id"]
+        self.kf_point_ids[kf_id] = np.concatenate(
+            [new_ids, pkt_args["tracked_ids"]]
+        )
+        self._cand_np = None  # exact candidate ids replace the optimistic set
+        pkt = AddToOptimizer(
+            kf_id, pkt_args["T_cw"], new_ids, new_psi, new_lvl, new_uvu,
+            pkt_args["tracked_ids"], pkt_args["tracked_obs"],
+            pkt_args["tracked_levels"], pkt_args["strengths"],
+            pyr=pkt_args["pyr"], disp=pkt_args["disp"],
+            points_snapshot=self.points, poses_snapshot=self.poses,
+        )
+        self.to_optimizer_stack.append(pkt)
+        self._ready_packets.append(pkt)
+        return pkt
+
+    def take_ready_packets(self):
+        """Finalized keyframe packets since the last call (drained by the
+        system's main loop, which pushes them to the backend monitor)."""
+        pkts, self._ready_packets = self._ready_packets, []
+        return pkts
 
     # -- backend feedback --------------------------------------------------- #
     def apply_neighborhood(self, nb):

@@ -136,10 +136,8 @@ class SlamSystem:
             return False
 
         self.backend_monitor.queryNeighborhood(self.frontend.actkey_id)
-        if dropped:
-            self.backend_monitor.pushKeyframe(
-                self.frontend.to_optimizer_stack[-1]
-            )
+        for pkt in self.frontend.take_ready_packets():
+            self.backend_monitor.pushKeyframe(pkt)
 
         loop = self.backend_monitor.getClosedLoop()
         if loop is not None:
@@ -198,15 +196,17 @@ class SlamSystem:
             loop = self.backend_monitor.getClosedLoop()
 
     def _flush_frontend(self):
-        if self.pipelined and len(self.frontend._pending) > 0:
+        if self.pipelined and (len(self.frontend._pending) > 0
+                               or self.frontend._pending_spawn is not None):
             for success, dropped, fid, pose, pkt in \
                     self.frontend.flush_pipeline():
                 if not success:
                     self.tracking_ok = False
                     break
-                self.trajectory.append((fid, pose))
-                if dropped:  # this in-flight frame dropped a keyframe
-                    self.backend_monitor.pushKeyframe(pkt)
+                if fid is not None:
+                    self.trajectory.append((fid, pose))
+            for pkt in self.frontend.take_ready_packets():
+                self.backend_monitor.pushKeyframe(pkt)
 
     def shutdown(self):
         self._flush_frontend()

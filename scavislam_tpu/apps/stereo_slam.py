@@ -51,7 +51,22 @@ def main(argv=None):
     ap.add_argument("--save-traj-tum", help="export trajectory in TUM format")
     ap.add_argument("--viz", help="render a top-down map PNG at the end")
     ap.add_argument("--pipelined", action="store_true",
-                    help="pipelined frame processing (1-frame policy lag)")
+                    help="pipelined frame processing (policy lags 2 frames)")
+    ap.add_argument("--debug-mode", type=int, default=-1,
+                    help="0-6: per-frame debug view PNGs (residual/cur/prev/"
+                         "dx/dy/right/color-disp — the GUI's ui.debug)")
+    ap.add_argument("--debug-level", type=int, default=0,
+                    help="pyramid level for --debug-mode (ui.debug_level)")
+    ap.add_argument("--debug-out", default="debug_frames",
+                    help="directory for --debug-mode PNGs")
+    ap.add_argument("--debug-every", type=int, default=10,
+                    help="write every Nth frame's debug view")
+    ap.add_argument("--timing-plot",
+                    help="stacked per-stage timing histogram PNG (the "
+                         "GUI's live plotter)")
+    ap.add_argument("--keyframe-view",
+                    help="PNG of the last keyframe's image + anchored "
+                         "points (the GUI's ui.show_keyframe view)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -101,6 +116,11 @@ def main(argv=None):
 
         frames = gen()
 
+    if args.debug_mode >= 0:
+        import os
+
+        os.makedirs(args.debug_out, exist_ok=True)
+
     n = 0
     for frame in frames:
         if args.max_frames and n >= args.max_frames:
@@ -114,6 +134,14 @@ def main(argv=None):
             if not ok:
                 print("FAILURE! tracking lost at frame", n, file=sys.stderr)
                 break
+        if args.debug_mode >= 0 and n % max(args.debug_every, 1) == 0:
+            from scavislam_tpu.apps.visualize import render_debug_image
+
+            render_debug_image(
+                args.debug_mode, args.debug_level, system.frontend,
+                num_disp=16 * cfg.ui.num_disp16,
+                path=f"{args.debug_out}/debug_{n:06d}.png",
+            )
         n += 1
 
     system.finish()
@@ -134,6 +162,18 @@ def main(argv=None):
         render_map_topdown(
             system.backend.graph, trajectory=system.trajectory,
             gt_poses=gt_poses or None, path=args.viz,
+        )
+
+    if args.timing_plot:
+        from scavislam_tpu.apps.visualize import render_timing_plot
+
+        render_timing_plot(system.per_mon, path=args.timing_plot)
+    if args.keyframe_view and system.frontend.keyframe_map:
+        from scavislam_tpu.apps.visualize import render_keyframe_view
+
+        render_keyframe_view(
+            system.frontend, max(system.frontend.keyframe_map),
+            path=args.keyframe_view,
         )
 
     summary = system.per_mon.summary()

@@ -245,6 +245,13 @@ class StereoFrontend:
         )
         self._dev_R_cw = out.R_cw
         self._dev_t_cw = out.t_cw
+        # device-resident debug state for the GUI's 7-way debug view
+        # (apps.visualize.render_debug_image; fetched only when inspected)
+        self.prev_pyr = getattr(self, "last_pyr", None)
+        self.last_pyr = out.pyr
+        self.last_dx, self.last_dy = out.dx, out.dy
+        self.last_disp = out.disp
+        self.last_right = stacked[1]
         return out
 
     def _empty_prev_state(self, shape):

@@ -15,6 +15,8 @@ from collections import defaultdict
 
 
 class PerformanceMonitor:
+    HISTORY_CAP = 4096  # frames of per-stage history kept for the plot
+
     def __init__(self):
         self._names: list[str] = []
         self._start: dict[str, float] = {}
@@ -23,6 +25,9 @@ class PerformanceMonitor:
         self._counts: dict[str, int] = defaultdict(int)
         self._frame_t0 = None
         self._frame_times: list[float] = []
+        # per-frame {stage: seconds} records, feeding the stacked timing
+        # plot (the reference plots these live, stereo_slam.cpp:155-160,636)
+        self.history: list[dict] = []
 
     def add(self, name: str):
         """Register a named stage (stereo_slam.cpp:174-184)."""
@@ -36,6 +41,8 @@ class PerformanceMonitor:
             for name, dt in self._acc.items():
                 self._totals[name] += dt
                 self._counts[name] += 1
+            if len(self.history) < self.HISTORY_CAP:
+                self.history.append(dict(self._acc))
             self._acc.clear()
         self._frame_t0 = now
 

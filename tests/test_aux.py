@@ -158,6 +158,47 @@ class TestVisualize:
         )
         assert os.path.exists(p2)
 
+    def test_debug_views_and_timing_plot(self, tmp_path):
+        """The GUI-parity surfaces: 7-way debug view (ui.debug 0-6),
+        keyframe view, stacked timing plot (stereo_slam.cpp:267-333,
+        155-160)."""
+        from scavislam_tpu.apps.visualize import (
+            DEBUG_MODES,
+            render_debug_image,
+            render_keyframe_view,
+            render_timing_plot,
+        )
+        from scavislam_tpu.core.camera import StereoCamera
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+        from scavislam_tpu.pipeline.slam_system import SlamSystem
+        from scavislam_tpu.utils.config import Config
+
+        cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+        seq = SyntheticSequence(cam, n_frames=3, step=0.02)
+        system = SlamSystem(cam, Config(), threaded=False,
+                            enable_loop_closure=False)
+        system.process_first_frame(seq.frame(0))
+        for i in (1, 2):
+            assert system.process_frame(seq.frame(i))
+
+        for mode in range(len(DEBUG_MODES)):
+            p = str(tmp_path / f"dbg{mode}.png")
+            img = render_debug_image(mode, 0, system.frontend, path=p)
+            assert os.path.exists(p)
+            assert img.size == (256, 192)
+        # coarser pyramid level
+        img = render_debug_image(1, 2, system.frontend)
+        assert img.size == (64, 48)
+
+        pk = str(tmp_path / "kf.png")
+        render_keyframe_view(system.frontend, 0, path=pk)
+        assert os.path.exists(pk)
+
+        pt = str(tmp_path / "timing.png")
+        render_timing_plot(system.per_mon, path=pt)
+        assert os.path.exists(pt)
+        assert len(system.per_mon.history) >= 1
+
 
 class TestDictionaryBuilder:
     def test_end_to_end(self, tmp_path):

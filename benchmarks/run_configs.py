@@ -124,7 +124,8 @@ def config2(n=90):
                             planes=closed_box(), step=1.0 / (n - 1))
     frames = _prep_frames(seq, n)
     _warm(cam, cfg, frames, loop_closure=True)
-    system = _system(cam, cfg, threaded=True, enable_loop_closure=True)
+    system = _system(cam, cfg, threaded=True, enable_loop_closure=True,
+                     pipelined=True)
     system.place_recognizer.score_thr = 0.05
     system.place_recognizer.min_inliers = 15
     system.place_recognizer.warmup()
@@ -157,8 +158,10 @@ def config3(n=60):
         seq = SyntheticSequence(cam, n_frames=n, step=0.01)
         record(iter(seq), td, with_disp=True)
         grabber = FileGrabber(td, base_pattern="img_.*", fmt="png",
-                              right_img=True, disp_img=True)
-        system = _system(cam, cfg, threaded=True, enable_loop_closure=False)
+                              right_img=True, disp_img=True,
+                              device_prefetch=True)
+        system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
+                         pipelined=True)
         frames = []
         while True:
             f = grabber.next_frame()

@@ -105,6 +105,7 @@ def main(argv=None):
             skip=cfg.framepipe.skip_imgs,
             focal=cfg.cam.f,
             baseline=cfg.cam.baseline,
+            device_prefetch=args.pipelined,
         )
 
         def gen():

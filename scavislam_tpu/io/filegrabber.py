@@ -20,8 +20,15 @@ import os
 import queue
 import re
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+
+def _upload(stacked: np.ndarray):
+    import jax.numpy as jnp
+
+    return jnp.asarray(stacked)
 
 _LIB = None
 
@@ -111,6 +118,13 @@ def to_gray_f32(img: np.ndarray) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
+def _as_u8_gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        img = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+               + 0.114 * img[..., 2] + 0.5).astype(np.uint8)
+    return np.asarray(img, np.uint8)
+
+
 def disparity_from_png_bytes(img: np.ndarray) -> np.ndarray:
     """The reference stores float disparity as 4-byte-per-pixel PNG
     (frame_grabber.cpp:153-162, dump_rgbd.cpp:200-218): reinterpret."""
@@ -134,7 +148,8 @@ class FileGrabber:
                  fmt: str = "png", right_img: bool = True,
                  disp_img: bool = False, depth_img: bool = False,
                  skip: int = 0, max_buffer: int = 50,
-                 focal: float = None, baseline: float = None):
+                 focal: float = None, baseline: float = None,
+                 device_prefetch: bool = False):
         # the reference scans for "<base>left.<fmt>" and derives the others
         left_pat = f"{base_pattern}left.*\\.{fmt}$"
         self.left_files = scan_dataset(path, left_pat)[skip:]
@@ -143,6 +158,16 @@ class FileGrabber:
         self.depth_img = depth_img
         self.focal = focal
         self.baseline = baseline
+        # upload frames to the device from the producer, off the frame loop:
+        # the reference prefetches 50 frames into RAM (filegrabber.cpp:54-61);
+        # with a remote chip the prefetch target is HBM. Uploads go through a
+        # small pool — each costs a full link round-trip (~30 ms), so one
+        # serial uploader caps the whole pipeline at ~33 fps
+        self.device_prefetch = device_prefetch
+        self._upload_pool = (
+            ThreadPoolExecutor(max_workers=4, thread_name_prefix="hbm-up")
+            if device_prefetch else None
+        )
         self._q: queue.Queue = queue.Queue(maxsize=max_buffer)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -180,6 +205,20 @@ class FileGrabber:
                     )
             except Exception as e:  # noqa: BLE001
                 bundle["error"] = str(e)
+            if self.device_prefetch and "error" not in bundle:
+                left = bundle["left_u8"]
+                right = bundle.get("right_u8", np.zeros_like(left))
+                if "disp" in bundle:
+                    # external disparity rides a float stack (3, H, W) —
+                    # the layout models/frontend_step.frontend_step expects
+                    stacked = np.stack([
+                        to_gray_f32(left), to_gray_f32(right),
+                        bundle["disp"].astype(np.float32)])
+                else:
+                    stacked = np.stack([
+                        _as_u8_gray(left), _as_u8_gray(right)])
+                bundle["stacked_fut"] = self._upload_pool.submit(
+                    _upload, stacked)
             self._q.put(bundle)
         self._q.put(None)
 
@@ -200,6 +239,8 @@ class FileGrabber:
             out["right"] = to_gray_f32(b["right_u8"])
         if "disp" in b:
             out["disp"] = b["disp"]
+        if "stacked_fut" in b:
+            out["stacked_dev"] = b["stacked_fut"].result()
         return out
 
     def close(self):

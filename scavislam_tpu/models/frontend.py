@@ -140,6 +140,9 @@ class StereoFrontend:
         self._R_cw = np.eye(3, dtype=np.float32)
         self._t_cw = np.zeros(3, np.float32)
         self._num_disp = 16 * self.cfg.ui.num_disp16
+        from scavislam_tpu.ops.rectify import Rectifier
+
+        self._rectifier = Rectifier(cam, self.cfg)
         self.frame_id = -1
 
         self._tracked_ids = np.zeros((0,), np.int64)
@@ -221,6 +224,10 @@ class StereoFrontend:
                 stacked = jnp.asarray(np.stack([
                     _to_u8(left), _to_u8(right)
                 ]))
+        # optional undistort+rectify ahead of the fused step (reference:
+        # rectify_frame, frame_grabber.cpp:245-256) — device-resident maps,
+        # one extra program, no host sync
+        stacked = self._rectifier.rectify_stacked(stacked)
         # device pose-chain: reuse last step's device outputs when available
         # (invalidated when the host rebases the world pose, e.g. after a
         # backend neighborhood update)

@@ -63,21 +63,48 @@ def remap(img: jnp.ndarray, rect_map: jnp.ndarray) -> jnp.ndarray:
     return vals
 
 
+import jax
+from functools import partial
+
+
+@jax.jit
+def _rectify_stack(stacked_f32, map_l, map_r):
+    """Remap the left/right planes of a stacked frame; any further planes
+    (external disparity) pass through untouched — the reference rectifies
+    only the images (frame_grabber.cpp:245-256)."""
+    planes = [
+        remap(stacked_f32[0], map_l)[None],
+        remap(stacked_f32[1], map_r)[None],
+    ]
+    if stacked_f32.shape[0] > 2:
+        planes.append(stacked_f32[2:])
+    return jnp.concatenate(planes, axis=0)
+
+
 class Rectifier:
     """Both-eye rectifier built from a Config (parity surface:
-    FrameGrabber::intializeRectifier + rectifyFrame)."""
+    FrameGrabber::intializeRectifier + rectifyFrame). `rectify_stacked`
+    is the frame-loop entry: one extra device program ahead of
+    frontend_step, maps resident on device, no host sync."""
 
     def __init__(self, cam: StereoCamera, cfg):
         self.enabled = bool(cfg.framepipe.rectify_frame)
         if self.enabled:
-            self.map_left = build_rectify_map(
+            self.map_left = jnp.asarray(build_rectify_map(
                 cam, cfg.cam.dist_left, cfg.cam.rot_left
-            )
-            self.map_right = build_rectify_map(
+            ))
+            self.map_right = jnp.asarray(build_rectify_map(
                 cam, cfg.cam.dist_right, cfg.cam.rot_right
-            )
+            ))
 
     def __call__(self, left, right):
         if not self.enabled:
             return left, right
         return remap(left, self.map_left), remap(right, self.map_right)
+
+    def rectify_stacked(self, stacked):
+        if not self.enabled:
+            return stacked
+        if stacked.dtype == jnp.uint8:
+            stacked = stacked.astype(jnp.float32) / 255.0
+        return _rectify_stack(stacked, self.map_left, self.map_right)

@@ -80,6 +80,34 @@ class TestRectify:
         shift = m[96, 128, 0] - 128
         assert abs(abs(shift) - 195.0 * 0.02) < 1.0
 
+    def test_pipeline_wiring_identity(self):
+        """rectify_frame=True with zero distortion must track the same
+        trajectory as the plain path (the reference applies rectification
+        inside the grabber, frame_grabber.cpp:245-256; here it is one extra
+        device program ahead of frontend_step)."""
+        import dataclasses
+
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+        from scavislam_tpu.models.frontend import StereoFrontend
+        from scavislam_tpu.utils.config import Config
+
+        seq = SyntheticSequence(CAM, n_frames=4, step=0.02)
+        frames = [seq.frame(i) for i in range(4)]
+        poses = {}
+        for rect in (False, True):
+            cfg = Config()
+            cfg = dataclasses.replace(
+                cfg, framepipe=dataclasses.replace(
+                    cfg.framepipe, rectify_frame=rect))
+            fe = StereoFrontend(CAM, cfg)
+            fe.process_first_frame(dict(frames[0]))
+            for f in frames[1:]:
+                ok, _ = fe.process_frame(dict(f))
+                assert ok
+            poses[rect] = fe._world_pose()
+        d = (poses[False] @ poses[True].inverse()).log()
+        assert float(jnp.max(jnp.abs(jnp.asarray(d)))) < 1e-3
+
 
 class TestSerialization:
     def test_graph_roundtrip(self, tmp_path):

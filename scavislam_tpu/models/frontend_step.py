@@ -122,6 +122,45 @@ class FrontendStepOut(NamedTuple):
     cloud_J: tuple  # per-level (N, 6) template Jacobians (IC dense tracking)
 
 
+def _subpixel_delta(tmpl, patch):
+    """One inverse-compositional LK translation step on an 8x8 patch pair:
+    the sub-pixel offset of `patch` (current image at the integer corner)
+    relative to `tmpl` (warped source). The reference STUBS its sub-pixel
+    refinement and returns the integer corner (matcher.cpp:242-309) — this
+    closes that gap for free: gradients come from in-patch central
+    differences on data already gathered, no extra image samples.
+
+    Returns (N, 2) du/dv, clamped to +-1 px, zero where ill-conditioned."""
+    n = tmpl.shape[0]
+    t2 = tmpl.reshape(n, PATCH, PATCH)
+    p2 = patch.reshape(n, PATCH, PATCH)
+    # zero-mean (ZMSSD's brightness-offset robustness)
+    t2 = t2 - jnp.mean(t2, axis=(-2, -1), keepdims=True)
+    p2 = p2 - jnp.mean(p2, axis=(-2, -1), keepdims=True)
+    # template gradients, central differences (borders excluded from sums)
+    gx = jnp.zeros_like(t2).at[:, :, 1:-1].set(
+        0.5 * (t2[:, :, 2:] - t2[:, :, :-2]))
+    gy = jnp.zeros_like(t2).at[:, 1:-1, :].set(
+        0.5 * (t2[:, 2:, :] - t2[:, :-2, :]))
+    r = p2 - t2
+    h00 = jnp.sum(gx * gx, axis=(-2, -1))
+    h01 = jnp.sum(gx * gy, axis=(-2, -1))
+    h11 = jnp.sum(gy * gy, axis=(-2, -1))
+    b0 = jnp.sum(gx * r, axis=(-2, -1))
+    b1 = jnp.sum(gy * r, axis=(-2, -1))
+    det = h00 * h11 - h01 * h01
+    ok = det > 1e-8
+    det_safe = jnp.where(ok, det, 1.0)
+    # d solves T(x + d) ~ I(x); a feature sitting at +s inside the image
+    # patch yields d = -s (verified numerically), so the corner estimate
+    # moves by -d — the caller SUBTRACTS this delta
+    du = (h11 * b0 - h01 * b1) / det_safe
+    dv = (h00 * b1 - h01 * b0) / det_safe
+    d = jnp.stack([du, dv], axis=-1)
+    d = jnp.clip(jnp.where(ok[:, None], d, 0.0), -1.0, 1.0)
+    return d
+
+
 def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
                      source_patches, point_valid, buckets_uv, buckets_valid,
                      bucket_patches, bucket_patch_ok,
@@ -200,6 +239,11 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
     best_score = jnp.min(score, axis=-1)
     corner = jnp.take_along_axis(c_uv, best[:, None, None], axis=1)[:, 0, :]
     matched = cand_ok & jnp.isfinite(best_score) & (best_score < zmssd_thr)
+
+    # sub-pixel: one IC-LK step on the winning patch pair (already gathered)
+    best_patch = jnp.take_along_axis(
+        cand_patches, best[:, None, None], axis=1)[:, 0, :]
+    corner = corner - _subpixel_delta(ref_patch, best_patch)
 
     s = jnp.float32(2**level)
     uv0 = (corner + 0.5) * s - 0.5

@@ -107,14 +107,21 @@ class SO3(NamedTuple):
         R = self.R
         trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
         cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-        theta = jnp.arccos(cos_theta)
         w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-        sin_theta = jnp.sin(theta)
-        # theta/sin(theta), Taylor near 0; near pi handled separately below.
+        # AUTODIFF-SAFE angle: theta = atan2(|w|, cos) instead of
+        # arccos(cos) — d(arccos) is -1/sqrt(1-c^2) = inf at identity, and
+        # the NaN poisons jacfwd through EVERY downstream where-branch
+        # (found linearizing pose-graph edges at consistency). sqrt(s2+eps)
+        # keeps the |w| derivative finite at w = 0.
+        s2 = jnp.sum(w * w, axis=-1)  # sin(theta)^2
+        sin_theta = jnp.sqrt(s2 + 1e-24)
+        theta = jnp.arctan2(sin_theta, cos_theta)
+        # theta/sin(theta): series in s2 near 0 (theta ~ sin there)
+        small = s2 < 1e-6
         scale = jnp.where(
-            theta < 1e-4,
-            1.0 + theta * theta / 6.0,
-            theta / jnp.where(jnp.abs(sin_theta) < 1e-12, 1.0, sin_theta),
+            small,
+            1.0 + s2 / 6.0,
+            theta / jnp.where(small, 1.0, sin_theta),
         )
         omega = w * scale[..., None]
         # Near theta == pi, sin(theta)->0 but rotation is large: recover axis

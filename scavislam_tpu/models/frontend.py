@@ -34,6 +34,7 @@ from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.models.frontend_step import (
     FrontendStepOut,
     frontend_step,
+    level_sections,
     spawn_points_step,
 )
 from scavislam_tpu.models.map_store import (
@@ -499,9 +500,18 @@ class StereoFrontend:
             ids = pd_unique(np.concatenate(lists))
         else:
             ids = np.zeros(0, np.int64)
+        # pack into the per-level sections the fused step matches against
+        # (each level's matcher only sees its own contiguous section);
+        # priority order (actkey -> covis -> neighborhood) is preserved
+        # within each section
         out = np.full((CAND_CAP,), -1, np.int64)
-        n = min(len(ids), CAND_CAP)
-        out[:n] = ids[:n]
+        if len(ids):
+            lv = self._meta_level[np.clip(ids, 0, MAX_POINTS - 1)]
+            off = 0
+            for l, cap in enumerate(level_sections(self.levels, CAND_CAP)):
+                sel = ids[lv == l][:cap]
+                out[off:off + len(sel)] = sel
+                off += cap
         return out
 
     # -- keyframe policy --------------------------------------------------- #

@@ -45,6 +45,21 @@ from scavislam_tpu.ops.patches import PATCH, affine_from_geometry
 import numpy as np
 
 
+def level_sections(levels: int, C: int) -> tuple:
+    """Fixed per-level candidate capacities: cand_ids is split into
+    CONTIGUOUS per-level sections so each level's matcher only does work for
+    its own candidates (a shared pool cost 3x the gathers/warps: every level
+    warped and scored all C candidates and masked the wrong-level ones).
+    Proportions track the reference's per-level feature budget
+    (2000*4^-l corners / 300*4^-l new points, stereo_frontend.cpp:79,743),
+    rounded to lane-friendly multiples of 32. The HOST packs candidates
+    into these sections (frontend._collect_candidates)."""
+    frac = {1: (), 2: (0.25,), 3: (0.25, 1.0 / 12.0)}.get(
+        levels, tuple(4.0 ** -l for l in range(1, levels)))
+    caps = [max(32, int(C * f) // 32 * 32) for f in frac]
+    return (C - sum(caps), *caps)
+
+
 def _patch_offsets_int(size: int):
     """Integer offsets -size//2 .. size//2-1 (the reference's patch
     alignment; integer corners + integer offsets = pure gather, no bilinear)."""
@@ -374,7 +389,6 @@ def frontend_step(
     t_aw = poses.t[a_idx]
     xyz_w = jnp.einsum("nji,nj->ni", R_aw, xyz_a - t_aw)
     patches = points.patch[safe]
-    patches_q = qpack_patches(patches)  # shared by the 3 per-level matchers
     cand_levels = points.level[safe]
     cand_uv0 = points.uv0[safe]
     cand_anchor = a_idx
@@ -383,10 +397,15 @@ def frontend_step(
         & (q[:, 0] > 1e-9)
     )
 
-    # -- 6. guided matching per level (unrolled static loop)
+    # -- 6. guided matching per level (unrolled static loop). cand_ids is
+    # split into contiguous per-level sections (level_sections): each level
+    # gathers/warps/scores ONLY its own section — the matching stage was the
+    # dominant device cost (~10 ms of a 21 ms step) when every level did
+    # full-C work and masked the rest.
     C = cand_ids.shape[0]
-    obs_all = jnp.zeros((C, 3), jnp.float32)
-    matched_all = jnp.zeros((C,), bool)
+    caps = level_sections(levels, C)
+    sec_off = 0
+    obs_secs, matched_secs = [], []
     for l in range(levels):
         focal, ppx, ppy, baseline = cam_params[l]
         w_l, h_l = cam_statics[l]
@@ -405,15 +424,22 @@ def frontend_step(
         bucket_patches, bucket_patch_ok = _extract_bucket_patches(
             pyr[l], buckets_uv, buckets_valid
         )
-        lvl_ok = ok & (cand_levels == l)
+        sl = slice(sec_off, sec_off + caps[l])
+        sec_off += caps[l]
+        sec_patches = patches[sl]
+        lvl_ok = ok[sl] & (cand_levels[sl] == l)
         obs_l, m_l = _match_one_level(
             {"focal": focal, "ppx": ppx, "ppy": ppy, "size": (w_l, h_l)},
-            pyr[l], R_cw, t_cw, xyz_w, R_aw, t_aw, patches, lvl_ok,
+            pyr[l], R_cw, t_cw, xyz_w[sl], R_aw[sl], t_aw[sl], sec_patches,
+            lvl_ok,
             buckets_uv, buckets_valid, bucket_patches, bucket_patch_ok,
-            disp, l, zmssd_thr, 10.0, source_patches_q=patches_q,
+            disp, l, zmssd_thr, 10.0,
+            source_patches_q=qpack_patches(sec_patches),
         )
-        obs_all = jnp.where(m_l[:, None], obs_l, obs_all)
-        matched_all = matched_all | m_l
+        obs_secs.append(obs_l)
+        matched_secs.append(m_l)
+    obs_all = jnp.concatenate(obs_secs, axis=0)
+    matched_all = jnp.concatenate(matched_secs, axis=0)
 
     n_matched = jnp.sum(matched_all.astype(jnp.int32))
 

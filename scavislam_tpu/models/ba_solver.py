@@ -198,13 +198,19 @@ def _chi2(cam_params, prob, R, t, psi, huber, sp_axis=None):
 
 
 def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber,
-                            sp_axis=None):
+                            sp_axis=None, anchor_perm=None):
     """One linearization: dense block H_cc, W, H_pp, gradients.
 
     With `sp_axis`, the observation arrays in `prob` are the LOCAL shard of a
     mesh-sharded problem: each shard scatter-adds its own observations and
     the full system is assembled with one psum over ICI (edges, replicated,
-    contribute from shard 0 only)."""
+    contribute from shard 0 only).
+
+    `anchor_perm` (O,) int32 enables the SORTED-scatter fast path for the W
+    blocks (measured 4x faster than unsorted scatter on TPU): the CALLER
+    PROMISES observations are packed sorted by (obs_pose, obs_point) and
+    anchor_perm sorts them by (anchor_slot, obs_point). slam_graph.optimize
+    packs this way; hand-built problems just pass None."""
     focal, ppx, ppy, baseline = cam_params
     P = prob.R.shape[0]
     L = prob.psi.shape[0]
@@ -253,19 +259,42 @@ def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber,
     JaW = Ja * Winfo[:, :, None]
     JpW = Jp * Winfo[:, :, None]
 
-    H_ff = jnp.einsum("nij,nik->njk", JfW, Jf)  # per-obs 6x6 blocks... no sum
-    # scatter-add into dense (P, P, 6, 6)
-    Hcc = jnp.zeros((P, P, 6, 6), jnp.float32)
-    Hcc = Hcc.at[c, c].add(jnp.einsum("nij,nik->njk", JfW, Jf))
-    Hcc = Hcc.at[a, a].add(jnp.einsum("nij,nik->njk", JaW, Ja))
-    H_fa = jnp.einsum("nij,nik->njk", JfW, Ja)
-    Hcc = Hcc.at[c, a].add(H_fa)
-    Hcc = Hcc.at[a, c].add(jnp.swapaxes(H_fa, -1, -2))
+    # Hcc via ONE-HOT einsums instead of 4 dense scatter-adds: P is small
+    # (<=128), so the (O, P) one-hots are tiny and the contraction runs on
+    # the MXU — measured 1.10 ms vs 1.82 ms for the scatter form at
+    # O=8192, P=128. Per-obs 12-dof jacobian [Jf | Ja] gives the 4 pose-pair
+    # quadrants in one product.
+    J12 = jnp.concatenate([Jf, Ja], -1)  # (O, 3, 12)
+    J12W = jnp.concatenate([JfW, JaW], -1)
+    X12 = jnp.einsum("nij,nik->njk", J12W, J12)  # (O, 12, 12)
+    U = jax.nn.one_hot(c, P, dtype=jnp.float32)  # observer slot one-hot
+    V = jax.nn.one_hot(a, P, dtype=jnp.float32)  # anchor slot one-hot
+    Hcc = jnp.einsum("np,nij,nq->pqij", U, X12[:, :6, :6], U)
+    Hcc += jnp.einsum("np,nij,nq->pqij", V, X12[:, 6:, 6:], V)
+    Hfa = jnp.einsum("np,nij,nq->pqij", U, X12[:, :6, 6:], V)
+    Hcc += Hfa + jnp.swapaxes(jnp.swapaxes(Hfa, 0, 1), -1, -2)
 
-    # W blocks (pose x point): (P, L, 6, 3)
-    Wcp = jnp.zeros((P, L, 6, 3), jnp.float32)
-    Wcp = Wcp.at[c, pidx].add(jnp.einsum("nij,nik->njk", JfW, Jp))
-    Wcp = Wcp.at[a, pidx].add(jnp.einsum("nij,nik->njk", JaW, Jp))
+    # W blocks (pose x point) as flat-index scatters into (P*L, 18) — the
+    # linearized form is ~1.5x faster than two (P, L) 2-D block scatters
+    # (measured 1.93 vs 2.77 ms), and the host-sorted form another ~4x on
+    # the scatter itself (0.40 vs 1.61 ms).
+    wb_f = jnp.einsum("nij,nik->njk", JfW, Jp).reshape(-1, 18)
+    wb_a = jnp.einsum("nij,nik->njk", JaW, Jp).reshape(-1, 18)
+    if anchor_perm is not None:
+        # host packed obs sorted by (c, pidx): observer stream is sorted;
+        # anchor stream sorts under the uploaded permutation
+        idx_a = (a * L + pidx)[anchor_perm]
+        Wcp_flat = (
+            jnp.zeros((P * L, 18), jnp.float32)
+            .at[c * L + pidx].add(wb_f, indices_are_sorted=True)
+            .at[idx_a].add(wb_a[anchor_perm], indices_are_sorted=True)
+        )
+    else:
+        w_flat_idx = (jnp.concatenate([c, a]) * L
+                      + jnp.concatenate([pidx, pidx]))
+        Wcp_flat = jnp.zeros((P * L, 18), jnp.float32).at[w_flat_idx].add(
+            jnp.concatenate([wb_f, wb_a], 0))
+    Wcp = Wcp_flat.reshape(P, L, 6, 3)
 
     # H_pp (L, 3, 3)
     Hpp = jnp.zeros((L, 3, 3), jnp.float32)
@@ -352,6 +381,7 @@ def solve_ba(
     huber: float = 3.0,
     lambda0: float = 50.0,
     sp_axis=None,  # mesh axis name when obs are sharded (see parallel/)
+    anchor_perm=None,  # sorted-scatter fast path (see _build_normal_equations)
 ):
     """LM with `iters` accepted-or-rejected rounds (g2o parity:
     OptParams(2 iters, Huber 3), lambda0 = 50). Returns
@@ -367,7 +397,7 @@ def solve_ba(
     def lm_round(carry, _):
         R, t, psi, lam, chi2 = carry
         Hcc, Wcp, Hpp, g_c, g_p = _build_normal_equations(
-            cam_params, prob, R, t, psi, huber, sp_axis
+            cam_params, prob, R, t, psi, huber, sp_axis, anchor_perm
         )
         # damp
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=Hpp.dtype)[None]

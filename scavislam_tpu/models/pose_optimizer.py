@@ -196,3 +196,109 @@ def motion_only_ba_robust(
         res = motion_only_ba(cam, res.T, xyz_w, obs_uvu, weights, keep,
                              huber_delta)
     return res
+
+
+class PointFilterResult(NamedTuple):
+    psi: jnp.ndarray  # (N, 3) updated inverse-depth points
+    Lambda: jnp.ndarray  # (N, 3, 3) updated information
+    res: jnp.ndarray  # (N,) final cost (reproj + prior Mahalanobis)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def filter_points_info(
+    cam_params,  # (focal, ppx, ppy) — monocular pinhole
+    R_ca: jnp.ndarray,  # (N, 3, 3) observing-cam from anchor
+    t_ca: jnp.ndarray,  # (N, 3)
+    psi: jnp.ndarray,  # (N, 3) inverse-depth points in anchor frame
+    Lambda: jnp.ndarray,  # (N, 3, 3) prior information (0 = no depth prior)
+    obs_uv: jnp.ndarray,  # (N, 2) observed pixel in the observing cam
+    valid: jnp.ndarray,  # (N,)
+    iters: int = 5,
+) -> PointFilterResult:
+    """Batched single-landmark information filter — monocular depth-free
+    point initialization (parity surface: the MONO-gated
+    ``filterSingleFeatureOnly``, pose_optimizer.h:300-422; Strasdat et al.,
+    "Scale Drift-Aware Large Scale Monocular SLAM", RSS 2010).
+
+    Per landmark: LM-minimize ``|obs - proj(T_ca, psi)|^2 +
+    (psi0 - psi)^T Lambda (psi0 - psi)`` (the prior keeps already-filtered
+    directions anchored while the unobservable depth stays free until
+    parallax arrives), then ADD the measured information ``J^T J`` to
+    Lambda. The reference filters one landmark in a double-precision scalar
+    loop; here every candidate landmark in the keyframe filters in parallel
+    as one fixed-iteration jitted program (vmap-free batched math, masked).
+    """
+    focal, ppx, ppy = cam_params
+    psi0 = psi
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def predict(p):
+        q = p[:, 2:3]
+        q_safe = jnp.where(jnp.abs(q) < 1e-9, 1e-9, q)
+        xyz_a = jnp.concatenate([p[:, :2], jnp.ones_like(q)], -1) / q_safe
+        y = jnp.einsum("nij,nj->ni", R_ca, xyz_a) + t_ca
+        z = y[:, 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        uv = jnp.stack([y[:, 0] / z_safe * focal + ppx,
+                        y[:, 1] / z_safe * focal + ppy], -1)
+        return uv, y, z_safe, q_safe[:, 0]
+
+    def jac(p, y, z_safe, q):
+        # d uv / d psi = Jproj(y) @ d(T psi^-1)/d psi  (cf. ba_solver Jp)
+        zero = jnp.zeros_like(z_safe)
+        z2 = z_safe * z_safe
+        Jproj = jnp.stack([
+            jnp.stack([focal / z_safe, zero, -focal * y[:, 0] / z2], -1),
+            jnp.stack([zero, focal / z_safe, -focal * y[:, 1] / z2], -1),
+        ], -2)  # (N, 2, 3)
+        r1 = R_ca[..., :, 0]
+        r2 = R_ca[..., :, 1]
+        Rx = jnp.einsum("nij,nj->ni", R_ca,
+                        jnp.concatenate([p[:, :2], jnp.ones_like(p[:, :1])],
+                                        -1) / jnp.where(
+                            jnp.abs(p[:, 2:3]) < 1e-9, 1e-9, p[:, 2:3]))
+        inner = jnp.stack([r1, r2, -Rx], -1) / q[:, None, None]
+        return Jproj @ inner  # (N, 2, 3)
+
+    def cost(p):
+        uv, y, z_safe, q = predict(p)
+        r = obs_uv - uv
+        d = psi0 - p
+        prior = jnp.einsum("ni,nij,nj->n", d, Lambda, d)
+        return jnp.sum(r * r, -1) + prior, r, (y, z_safe, q)
+
+    res, r, aux = cost(psi)
+    mu = jnp.full(psi.shape[:1], 0.01, jnp.float32)
+    nu = jnp.full(psi.shape[:1], 2.0, jnp.float32)
+    p_cur = psi
+    for _ in range(iters):
+        uv, y, z_safe, q = predict(p_cur)
+        J = jac(p_cur, y, z_safe, q)
+        r_cur = obs_uv - uv
+        V = jnp.einsum("nki,nkj->nij", J, J)
+        g = jnp.einsum("nki,nk->ni", J, r_cur) + jnp.einsum(
+            "nij,nj->ni", Lambda, psi0 - p_cur)
+        H = Lambda + V + mu[:, None, None] * eye3
+        # 3x3 solve in closed form (shared batched inverse)
+        from scavislam_tpu.models.ba_solver import _inv3x3
+
+        delta = jnp.einsum("nij,nj->ni", _inv3x3(H), g)
+        p_new = p_cur + delta
+        res_new, _, _ = cost(p_new)
+        accept = (res_new < res) & valid & jnp.all(
+            jnp.isfinite(p_new), -1)
+        p_cur = jnp.where(accept[:, None], p_new, p_cur)
+        res = jnp.where(accept, res_new, res)
+        mu = jnp.where(accept, mu / 3.0, mu * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+
+    # Lambda += V at the converged point (information update)
+    uv, y, z_safe, q = predict(p_cur)
+    J = jac(p_cur, y, z_safe, q)
+    V = jnp.einsum("nki,nkj->nij", J, J)
+    ok = valid[:, None, None]
+    return PointFilterResult(
+        jnp.where(valid[:, None], p_cur, psi),
+        jnp.where(ok, Lambda + V, Lambda),
+        res,
+    )

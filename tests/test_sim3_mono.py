@@ -131,3 +131,73 @@ class TestSim3PoseGraph:
         assert hist[-1] < 1e-8
         np.testing.assert_allclose(np.asarray(out.t), np.asarray(nodes.t),
                                    atol=1e-4)
+
+
+class TestMonoPointFilter:
+    """Batched information-filter point init (the MONO-gated
+    filterSingleFeatureOnly, pose_optimizer.h:300-422)."""
+
+    CAM = (200.0, 128.0, 96.0)
+
+    def _project(self, R_ca, t_ca, xyz_a):
+        y = xyz_a @ np.asarray(R_ca).T + t_ca
+        f, px, py = self.CAM
+        return np.stack([y[:, 0] / y[:, 2] * f + px,
+                         y[:, 1] / y[:, 2] * f + py], -1)
+
+    def test_depth_recovered_with_parallax(self):
+        from scavislam_tpu.models.pose_optimizer import filter_points_info
+
+        rng = np.random.RandomState(1)
+        n = 32
+        xyz = np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+                        rng.uniform(3, 8, n)], -1)
+        psi_true = np.stack([xyz[:, 0] / xyz[:, 2], xyz[:, 1] / xyz[:, 2],
+                             1.0 / xyz[:, 2]], -1).astype(np.float32)
+        # bearing known from the anchor view, depth initialized WRONG
+        psi0 = psi_true.copy()
+        psi0[:, 2] = 0.5  # init q = 1/2m for all
+        Lam0 = np.zeros((n, 3, 3), np.float32)
+        Lam0[:, 0, 0] = Lam0[:, 1, 1] = 1e4  # bearing fixed by anchor obs
+        # observe from a translated camera (baseline -> parallax)
+        R_ca = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+        t_ca = np.tile(np.array([-0.5, 0.0, 0.0], np.float32), (n, 1))
+        obs = self._project(np.eye(3), t_ca[0], xyz).astype(np.float32)
+
+        out = filter_points_info(
+            self.CAM, jnp.asarray(R_ca), jnp.asarray(t_ca),
+            jnp.asarray(psi0), jnp.asarray(Lam0), jnp.asarray(obs),
+            jnp.ones(n, bool), iters=8)
+        q = np.asarray(out.psi[:, 2])
+        np.testing.assert_allclose(q, psi_true[:, 2], rtol=0.02)
+        # information accumulated along the observable direction
+        dL = np.asarray(out.Lambda - Lam0)
+        assert (dL[:, 2, 2] > 0).all()
+        # update is PSD (information only ever added)
+        ev = np.linalg.eigvalsh(dL)
+        assert ev.min() > -1e-2
+
+    def test_pure_rotation_leaves_depth_unobserved(self):
+        from scavislam_tpu.models.pose_optimizer import filter_points_info
+
+        n = 8
+        rng = np.random.RandomState(2)
+        xyz = np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+                        rng.uniform(3, 8, n)], -1)
+        psi_true = np.stack([xyz[:, 0] / xyz[:, 2], xyz[:, 1] / xyz[:, 2],
+                             1.0 / xyz[:, 2]], -1).astype(np.float32)
+        R = np.asarray(SO3.exp(jnp.asarray([0.0, 0.05, 0.0])).R,
+                       np.float32)
+        R_ca = np.tile(R, (n, 1, 1))
+        t_ca = np.zeros((n, 3), np.float32)
+        obs = self._project(R, np.zeros(3), xyz).astype(np.float32)
+
+        out = filter_points_info(
+            self.CAM, jnp.asarray(R_ca), jnp.asarray(t_ca),
+            jnp.asarray(psi_true), np.zeros((n, 3, 3), np.float32),
+            jnp.asarray(obs), jnp.ones(n, bool), iters=5)
+        # no parallax: the depth column of the added information is ~0
+        dL = np.asarray(out.Lambda)
+        assert abs(dL[:, 2, 2]).max() < 1e-4 * abs(dL[:, 0, 0]).max()
+        # and the filter did not invent a depth change
+        np.testing.assert_allclose(np.asarray(out.psi), psi_true, atol=1e-3)

@@ -73,7 +73,7 @@ class AddToOptimizer:
     so a reference IS a snapshot)."""
 
     kf_id: int
-    T_kw: SE3
+    T_kw: tuple  # numpy (R, t) — device arrays here cost a tunnel fetch
     new_point_ids: np.ndarray
     new_psi: np.ndarray  # (m, 3)
     new_levels: np.ndarray  # (m,)
@@ -288,8 +288,9 @@ class StereoFrontend:
 
         kf_id = self._new_keyframe_id()
         T_kw = frame.get("T_cw_init", SE3.identity())
+        T_np = (np.asarray(T_kw.R, np.float32), np.asarray(T_kw.t, np.float32))
         self.poses = self.poses.set(kf_id, T_kw)
-        self.pose_np[kf_id] = (np.asarray(T_kw.R), np.asarray(T_kw.t))
+        self.pose_np[kf_id] = T_np
         self.actkey_id = kf_id
         self._R_cak = np.eye(3, dtype=np.float32)
         self._t_cak = np.zeros(3, np.float32)
@@ -300,10 +301,10 @@ class StereoFrontend:
         self.kf_point_ids[kf_id] = new_ids
         self.covis[kf_id] = {}
         self.keyframe_map[kf_id] = {
-            "pyr": out.pyr, "disp": out.disp, "T_kw": T_kw,
+            "pyr": out.pyr, "disp": out.disp, "T_kw": T_np,
         }
         pkt = AddToOptimizer(
-            kf_id, T_kw, new_ids, new_psi, new_lvl, new_uvu,
+            kf_id, T_np, new_ids, new_psi, new_lvl, new_uvu,
             np.zeros(0, np.int64), np.zeros((0, 3), np.float32),
             np.zeros(0, np.int64), {},
             pyr=out.pyr, disp=out.disp,
@@ -654,8 +655,13 @@ class StereoFrontend:
             self._finalize_keyframe(rec, pkt_args)
         kf_id = self._new_keyframe_id()
         T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
+        # packets/snapshots carry the NUMPY pose pair: a device-backed SE3 in
+        # the packet costs the backend a ~25 ms tunnel fetch per keyframe
+        # when it converts with np.asarray (measured — it was the single
+        # largest per-keyframe cost in the loop-closure benchmark)
+        T_np = (self._R_cw.copy(), self._t_cw.copy())
         self.poses = self.poses.set(kf_id, T_cw)
-        self.pose_np[kf_id] = (self._R_cw.copy(), self._t_cw.copy())
+        self.pose_np[kf_id] = T_np
 
         anch = self._meta_anchor[
             np.clip(self._tracked_ids, 0, MAX_POINTS - 1)
@@ -674,10 +680,10 @@ class StereoFrontend:
             for s, c in zip(rec["starts"], rec["caps"])
         ])
         self.keyframe_map[kf_id] = {
-            "pyr": out.pyr, "disp": out.disp, "T_kw": T_cw,
+            "pyr": out.pyr, "disp": out.disp, "T_kw": T_np,
         }
         pkt_args = dict(
-            kf_id=kf_id, T_cw=T_cw,
+            kf_id=kf_id, T_cw=T_np,
             tracked_ids=self._tracked_ids.copy(),
             tracked_obs=self._tracked_obs.copy(),
             tracked_levels=self._tracked_levels.copy(),

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
 # Taylor/exact switch on theta^2. In float32, 1 - cos(theta) underflows to 0
@@ -408,3 +409,49 @@ class Sim3(NamedTuple):
             -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, self.t),
             s_inv,
         )
+
+
+class PoseRT(NamedTuple):
+    """Host-side numpy rigid pose (R, t) with the small SE3 surface the
+    pipeline's bookkeeping needs (compose, inverse, log, apply).
+
+    Purpose: per-frame host bookkeeping (trajectories, packets, policy)
+    must never touch the device — an eager jnp op costs a dispatch and a
+    fetched result costs a full tunnel round-trip (~25 ms measured). SE3
+    stays the device/compute type; PoseRT is its host mirror. `other` in
+    compose may be an SE3 (converted via np.asarray, cheap for host-backed
+    arrays)."""
+
+    R: np.ndarray
+    t: np.ndarray
+
+    @staticmethod
+    def identity() -> "PoseRT":
+        return PoseRT(np.eye(3, dtype=np.float64), np.zeros(3))
+
+    @staticmethod
+    def from_any(T) -> "PoseRT":
+        if isinstance(T, PoseRT):
+            return T
+        if isinstance(T, tuple):
+            return PoseRT(np.asarray(T[0], np.float64),
+                          np.asarray(T[1], np.float64))
+        return PoseRT(np.asarray(T.R, np.float64), np.asarray(T.t, np.float64))
+
+    def __matmul__(self, other) -> "PoseRT":
+        o = PoseRT.from_any(other)
+        return PoseRT(self.R @ o.R, self.R @ o.t + self.t)
+
+    def inverse(self) -> "PoseRT":
+        Rt = np.ascontiguousarray(self.R.T)
+        return PoseRT(Rt, -(Rt @ self.t))
+
+    def apply(self, x):
+        return x @ self.R.T + self.t
+
+    def as_se3(self) -> "SE3":
+        return SE3(jnp.asarray(self.R, jnp.float32),
+                   jnp.asarray(self.t, jnp.float32))
+
+    def log(self):
+        return self.as_se3().log()

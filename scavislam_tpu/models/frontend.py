@@ -188,8 +188,14 @@ class StereoFrontend:
     def T_cur_from_actkey(self) -> SE3:
         return SE3(jnp.asarray(self._R_cak), jnp.asarray(self._t_cak))
 
-    def _world_pose(self) -> SE3:
-        return SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
+    def _world_pose(self) -> "PoseRT":
+        # numpy, NOT SE3: this is called per frame for the trajectory, and
+        # a device-backed pose makes every later trajectory consumer (ATE,
+        # TUM export, viz) pay eager device ops + a tunnel fetch per pose
+        from scavislam_tpu.core.lie import PoseRT
+
+        return PoseRT(self._R_cw.astype(np.float64).copy(),
+                      self._t_cw.astype(np.float64).copy())
 
     # -- frame processing -------------------------------------------------- #
     def _cand_device(self, cand_ids):

@@ -226,9 +226,13 @@ class SlamSystem:
 
 def ate_rmse(trajectory, gt_poses) -> float:
     """Absolute trajectory error (translation RMSE), no alignment: both
-    trajectories share the first-frame gauge."""
+    trajectories share the first-frame gauge. All math in numpy — an eager
+    jnp compose + fetch per pose costs a tunnel round-trip each."""
+    from scavislam_tpu.core.lie import PoseRT
+
     errs = []
     for (fid, T_est), T_gt in zip(trajectory, gt_poses):
-        errs.append(np.asarray((T_est @ T_gt.inverse()).t))
+        e = PoseRT.from_any(T_est) @ PoseRT.from_any(T_gt).inverse()
+        errs.append(e.t)
     errs = np.stack(errs)
     return float(np.sqrt((errs**2).sum(axis=1).mean()))

@@ -206,6 +206,16 @@ class StereoFrontend:
             self._cand_dev = jnp.asarray(cand_ids, jnp.int32)
         return self._cand_dev
 
+    def _actkey_dev(self):
+        """Device scalar of the active keyframe id, re-uploaded only when it
+        changes (a fresh jnp.int32 per frame is a device_put dispatch)."""
+        key = max(self.actkey_id, 0)
+        cached = getattr(self, "_actkey_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, jnp.int32(key))
+            self._actkey_cache = cached
+        return cached[1]
+
     def _run_step(self, frame, cand_ids):
         ext = frame.get("disp")
         use_ext = ext is not None or frame.get("use_gt_disp", False)
@@ -247,7 +257,7 @@ class StereoFrontend:
             self._prev_clouds, self._prev_intens, self._prev_valids,
             self._prev_J,
             R_cw, t_cw,
-            jnp.int32(max(self.actkey_id, 0)),
+            self._actkey_dev(),
             self.poses, self.points,
             self._cand_device(cand_ids),
             self._cam_params, self._cam_statics,

@@ -169,6 +169,77 @@ def anchored_jacs(
     return J_frame, J_anchor, J_point
 
 
+def predict_uv_world(cam, T_cw: SE3, xyz_w: jnp.ndarray) -> jnp.ndarray:
+    """SE3XYZ model (transformations.h:466-519): world point -> mono uv.
+    ``cam`` is any pinhole with .focal/.pp (LinearCamera or StereoCamera)."""
+    y = T_cw.apply(xyz_w)
+    return project2d(y) * cam.focal + cam.pp
+
+
+def frame_jac_uv_world(cam, T_cw: SE3, xyz_w: jnp.ndarray) -> jnp.ndarray:
+    """d(predict_uv_world)/d(xi), T <- exp(xi) T: (..., 2, 6)."""
+    y = T_cw.apply(xyz_w)
+    return d_proj_d_y(cam.focal, y) @ d_expy_d_y(y)
+
+
+def predict_uv_psi(cam, T_ca: SE3, psi: jnp.ndarray) -> jnp.ndarray:
+    """SE3UVQ model (transformations.h:521-575): inverse-depth point in the
+    reference camera -> mono uv in the observing camera."""
+    y = T_ca.apply(invert_depth(psi))
+    return project2d(y) * cam.focal + cam.pp
+
+
+def uv_psi_jacs(cam, T_ca: SE3, psi: jnp.ndarray):
+    """(J_frame (...,2,6), J_point (...,2,3)) of :func:`predict_uv_psi`."""
+    y = T_ca.apply(invert_depth(psi))
+    Jp = d_proj_d_y(cam.focal, y)
+    return Jp @ d_expy_d_y(y), Jp @ d_Tinvpsi_d_psi(T_ca, psi)
+
+
+def predict_uvu_psi(cam: StereoCamera, T_ca: SE3, psi: jnp.ndarray) -> jnp.ndarray:
+    """SE3UVQ_STEREO model (transformations.h:841-900): non-anchored
+    inverse-depth point -> stereo uvu."""
+    return cam.map_uvu(T_ca.apply(invert_depth(psi)))
+
+
+def uvu_psi_jacs(cam: StereoCamera, T_ca: SE3, psi: jnp.ndarray):
+    """(J_frame (...,3,6), J_point (...,3,3)) of :func:`predict_uvu_psi`."""
+    y = T_ca.apply(invert_depth(psi))
+    Jp = d_stereoproj_d_y(cam.focal, cam.baseline, y)
+    return Jp @ d_expy_d_y(y), Jp @ d_Tinvpsi_d_psi(T_ca, psi)
+
+
+def predict_uvu_from_uvu(cam: StereoCamera, T_c2_c1: SE3,
+                         uvu_1: jnp.ndarray) -> jnp.ndarray:
+    """SE3UVU_STEREO model (transformations.h:577-621): a point
+    PARAMETRIZED by its first-view stereo observation (u, v, u_r) -> its
+    uvu in a second view. unmap then remap — the reference uses this to
+    optimize directly over measured stereo coordinates."""
+    return cam.map_uvu(T_c2_c1.apply(cam.unmap_uvu(uvu_1)))
+
+
+def predict_anchored_uv(cam, T_cw: SE3, A_aw: SE3,
+                        psi_a: jnp.ndarray) -> jnp.ndarray:
+    """SE3AnchordUVQ model (transformations.h:623-720, the MONO anchored
+    measurement): anchored inverse-depth point -> mono uv."""
+    T_ca = T_cw @ A_aw.inverse()
+    y = T_ca.apply(invert_depth(psi_a))
+    return project2d(y) * cam.focal + cam.pp
+
+
+def anchored_uv_jacs(cam, T_cw: SE3, A_aw: SE3, psi_a: jnp.ndarray):
+    """(J_frame, J_anchor, J_point) of :func:`predict_anchored_uv` —
+    the mono trio of SE3AnchordUVQ (transformations.h:658-720)."""
+    T_ca = T_cw @ A_aw.inverse()
+    x = invert_depth(psi_a)
+    y = T_ca.apply(x)
+    Jp = d_proj_d_y(cam.focal, y)
+    J_frame = Jp @ d_expy_d_y(y)
+    J_anchor = -(Jp @ T_ca.R @ d_expy_d_y(x))
+    J_point = Jp @ d_Tinvpsi_d_psi(T_ca, psi_a)
+    return J_frame, J_anchor, J_point
+
+
 def relative_pose_error(T_21: SE3, T_1w: SE3, T_w2_inv: SE3) -> jnp.ndarray:
     """log(T_21 * T_1w * T_w2) — the G2oEdgeSE3 error (anchored_points.cpp:207-214).
 

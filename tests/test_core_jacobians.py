@@ -155,3 +155,69 @@ class TestRelativePoseEdge:
         # BCH series is 2nd order — accurate for small d (|d| ~ 0.02 here).
         np.testing.assert_allclose(J1, J1_num, atol=5e-4)
         np.testing.assert_allclose(J2, J2_num, atol=5e-4)
+
+
+class TestMonoModels:
+    """The reference's remaining prediction models (mono + stereo point
+    parametrizations, transformations.h:466-900), autodiff-verified."""
+
+    def test_frame_jac_uv_world(self):
+        T = random_pose(jax.random.PRNGKey(11), 0.3)
+        x = random_point(jax.random.PRNGKey(12))
+        J = tf.frame_jac_uv_world(CAM, T, x)
+        Jnum = jax.jacfwd(
+            lambda e: tf.predict_uv_world(CAM, SE3.exp(e) @ T, x)
+        )(jnp.zeros(6))
+        np.testing.assert_allclose(J, Jnum, atol=1e-2, rtol=1e-2)
+
+    def test_uv_psi_jacs(self):
+        T = random_pose(jax.random.PRNGKey(13), 0.3)
+        psi = tf.psi_from_xyz(random_point(jax.random.PRNGKey(14)))
+        Jf, Jp = tf.uv_psi_jacs(CAM, T, psi)
+        Jf_num = jax.jacfwd(
+            lambda e: tf.predict_uv_psi(CAM, SE3.exp(e) @ T, psi)
+        )(jnp.zeros(6))
+        Jp_num = jax.jacfwd(lambda p: tf.predict_uv_psi(CAM, T, p))(psi)
+        np.testing.assert_allclose(Jf, Jf_num, atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(Jp, Jp_num, atol=1e-2, rtol=1e-2)
+
+    def test_uvu_psi_jacs(self):
+        T = random_pose(jax.random.PRNGKey(15), 0.3)
+        psi = tf.psi_from_xyz(random_point(jax.random.PRNGKey(16)))
+        Jf, Jp = tf.uvu_psi_jacs(CAM, T, psi)
+        Jf_num = jax.jacfwd(
+            lambda e: tf.predict_uvu_psi(CAM, SE3.exp(e) @ T, psi)
+        )(jnp.zeros(6))
+        Jp_num = jax.jacfwd(lambda p: tf.predict_uvu_psi(CAM, T, p))(psi)
+        np.testing.assert_allclose(Jf, Jf_num, atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(Jp, Jp_num, atol=1e-2, rtol=1e-2)
+
+    def test_uvu_from_uvu_roundtrip(self):
+        x = random_point(jax.random.PRNGKey(17))
+        uvu = CAM.map_uvu(x)
+        # identity pose: the model must reproduce its own parametrization
+        np.testing.assert_allclose(
+            tf.predict_uvu_from_uvu(CAM, SE3.identity(), uvu), uvu,
+            atol=1e-3)
+        # general pose: equals map(T * unmap(uvu))
+        T = random_pose(jax.random.PRNGKey(18), 0.3)
+        np.testing.assert_allclose(
+            tf.predict_uvu_from_uvu(CAM, T, uvu),
+            CAM.map_uvu(T.apply(x)), atol=1e-2)
+
+    def test_anchored_uv_jacs(self):
+        kf, ka, kp = (jax.random.PRNGKey(i) for i in (19, 20, 21))
+        T, A = random_pose(kf, 0.3), random_pose(ka, 0.3)
+        psi = tf.psi_from_xyz(random_point(kp))
+        Jf, Ja, Jp = tf.anchored_uv_jacs(CAM, T, A, psi)
+        Jf_num = jax.jacfwd(
+            lambda e: tf.predict_anchored_uv(CAM, SE3.exp(e) @ T, A, psi)
+        )(jnp.zeros(6))
+        Ja_num = jax.jacfwd(
+            lambda e: tf.predict_anchored_uv(CAM, T, SE3.exp(e) @ A, psi)
+        )(jnp.zeros(6))
+        Jp_num = jax.jacfwd(
+            lambda p: tf.predict_anchored_uv(CAM, T, A, p))(psi)
+        np.testing.assert_allclose(Jf, Jf_num, atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(Ja, Ja_num, atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(Jp, Jp_num, atol=1e-2, rtol=1e-2)

@@ -125,7 +125,7 @@ def config2(n=90):
     frames = _prep_frames(seq, n)
     _warm(cam, cfg, frames, loop_closure=True)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=True,
-                     pipelined=True)
+                     pipelined=True, pipeline_depth=4)
     system.place_recognizer.score_thr = 0.05
     system.place_recognizer.min_inliers = 15
     system.place_recognizer.warmup()
@@ -169,7 +169,7 @@ def config3(n=60):
                               right_img=True, disp_img=True,
                               device_prefetch=True)
         system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
-                         pipelined=True)
+                         pipelined=True, pipeline_depth=4)
         frames = []
         while True:
             f = grabber.next_frame()

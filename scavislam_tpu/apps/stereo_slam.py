@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--viz", help="render a top-down map PNG at the end")
     ap.add_argument("--pipelined", action="store_true",
                     help="pipelined frame processing (policy lags 2 frames)")
+    ap.add_argument("--pipeline-depth", type=int, default=None,
+                    help="frames in flight (default 2; use 3-4 for small "
+                         "frames whose period is under the link RTT)")
     ap.add_argument("--debug-mode", type=int, default=-1,
                     help="0-6: per-frame debug view PNGs (residual/cur/prev/"
                          "dx/dy/right/color-disp — the GUI's ui.debug)")
@@ -82,6 +85,7 @@ def main(argv=None):
         cam, cfg, threaded=args.threaded,
         enable_loop_closure=not args.no_loop_closure,
         vocabulary=vocab, pipelined=args.pipelined,
+        pipeline_depth=args.pipeline_depth,
     )
 
     gt_poses = []

@@ -51,7 +51,12 @@ STAGES = (
 class SlamSystem:
     def __init__(self, cam: StereoCamera, cfg: Config = None,
                  threaded: bool = False, enable_loop_closure: bool = True,
-                 vocabulary=None, pipelined: bool = False):
+                 vocabulary=None, pipelined: bool = False,
+                 pipeline_depth: int = None):
+        # pipeline_depth: frames in flight before results are consumed.
+        # Pick ~ceil(link_RTT / frame_period): depth 2 suits 512x384
+        # (~16 ms/frame vs ~28 ms RTT); small frames (256x192, ~10 ms)
+        # need 3-4 or every consume stalls on the fetch.
         self.cfg = cfg or Config()
         self.cam = cam
         self.per_mon = PerformanceMonitor()
@@ -64,6 +69,8 @@ class SlamSystem:
         )
         self.frontend = StereoFrontend(cam, self.cfg)
         self.frontend.per_mon = self.per_mon
+        if pipeline_depth is not None:
+            self.frontend.pipeline_depth = int(pipeline_depth)
         self.backend = Backend(cam, self.cfg, self.backend_monitor,
                                self.place_monitor)
         self.backend.per_mon = self.per_mon

@@ -58,7 +58,7 @@ def main():
     # (stereo_slam.cpp:195-196); the measured rate is the main tracking
     # loop's, exactly what the reference's on-screen FPS reports.
     system = SlamSystem(cam, cfg, threaded=True, enable_loop_closure=False,
-                        pipelined=True)
+                        pipelined=True, pipeline_depth=3)
 
     # ---- warmup: compile EVERY jit path before timing. A separate throwaway
     # system with a tiny parallax threshold forces keyframe drops (spawn +

@@ -95,7 +95,7 @@ def config1(n=230):
     seq = SyntheticSequence(cam, n_frames=n, step=0.004)
     frames = _prep_frames(seq, n)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
-                     pipelined=True)
+                     pipelined=True, pipeline_depth=3)
     _warm(cam, cfg, frames)
     fps, ate, system = _run_frames(system, frames)
     return {"config": 1, "metric": "newcollege_subset_fps", "value": round(fps, 2),

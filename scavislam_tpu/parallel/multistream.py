@@ -190,3 +190,79 @@ def build_sharded_ba(mesh: Mesh, cam_params, iters: int = 2,
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
+                               num_disp=64, zmssd_thr=0.18):
+    """The FULL fused per-frame frontend step (preprocess -> stereo ->
+    dense tracking -> corners -> guided matching -> motion BA -> policy
+    stats -> next cloud state) vmapped over a stream batch, optionally
+    shard_mapped over the mesh's "dp" axis (BASELINE config 5: N parallel
+    New College streams per chip; across chips pure data parallelism over
+    ICI).
+
+    Host keyframe policy is per-stream host work and is NOT batched here —
+    streams run visual odometry against their candidate tables, which is
+    the steady-state shape of the per-frame device load.
+
+    Stereo: a Pallas kernel cannot be VMAPPED, and the XLA twin under vmap
+    materializes B full cost volumes ((H, W, D) f32 each — measured 8
+    streams at 512x384xD64 dropping the batched step to 37 fps total). So
+    on TPU the disparity runs as a `lax.map` over streams of the fused
+    Pallas kernel (sequential kernel launches inside the ONE program,
+    VMEM-resident cost volume each) and feeds the step's external-disparity
+    path; on CPU (tests/dryrun, tiny shapes) the vmapped XLA twin is fine.
+
+    Returns step(frames(B,2,H,W), clouds, intens, valids, Js, R(B,3,3),
+    t(B,3), actkey(B,), poses, points, cand(B,C)) -> FrontendStepOut with a
+    leading stream axis on every leaf.
+    """
+    from scavislam_tpu.models.frontend_step import (
+        _USE_PALLAS_BM,
+        frontend_step,
+    )
+
+    h_img = cam_statics[0][1]
+    use_pallas = _USE_PALLAS_BM and h_img % 32 == 0
+
+    def one(frames, clouds, intens, valids, Js, R, t, ak, poses, points,
+            cand):
+        return frontend_step(
+            frames, clouds, intens, valids, Js, R, t, ak, poses, points,
+            cand, cam_params, cam_statics, levels, num_disp, use_pallas,
+            2.0, zmssd_thr, 1,
+        )
+
+    def vstep(frames, clouds, intens, valids, Js, R, t, ak, poses, points,
+              cand):
+        if use_pallas:
+            from scavislam_tpu.ops.stereo_pallas import (
+                block_matching_disparity_pallas,
+            )
+
+            frames_f = (frames.astype(jnp.float32) / 255.0
+                        if frames.dtype == jnp.uint8 else frames)
+            disp = jax.lax.map(
+                lambda fr: block_matching_disparity_pallas(
+                    fr[0], fr[1], num_disp=num_disp, radius=5),
+                frames_f,
+            )
+            frames_f = jnp.concatenate([frames_f, disp[:, None]], axis=1)
+            return jax.vmap(one)(frames_f, clouds, intens, valids, Js, R,
+                                 t, ak, poses, points, cand)
+        return jax.vmap(one)(frames, clouds, intens, valids, Js, R, t, ak,
+                             poses, points, cand)
+    if mesh is None:
+        return jax.jit(vstep)
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    step = shard_map(
+        vstep, mesh=mesh,
+        in_specs=P("dp"),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -109,3 +109,70 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
         np.testing.assert_allclose(np.asarray(psi1), np.asarray(psi2),
                                    atol=1e-5)
+
+
+class TestMultistreamFrontend:
+    def test_vmapped_full_step_matches_per_stream(self):
+        """build_multistream_frontend (the FULL fused frontend step over a
+        stream batch) must agree with per-stream frontend_step calls."""
+        import jax.numpy as jnp
+
+        from scavislam_tpu.core.camera import StereoCamera
+        from scavislam_tpu.models import frontend_step as FS
+        from scavislam_tpu.models.map_store import PointTable, PoseTable
+        from scavislam_tpu.ops.image import build_pyramid, sobel_xy
+        from scavislam_tpu.ops.stereo import block_matching_disparity
+        from scavislam_tpu.parallel.multistream import (
+            build_multistream_frontend,
+        )
+
+        levels, B = 3, 2
+        h, w = 64, 96
+        cam = StereoCamera.create(48.0, (47.5, 31.5), (w, h), 0.1)
+        cams = [cam.scale_level(l) for l in range(levels)]
+        cam_params = tuple(
+            (c.focal, c.pp[0], c.pp[1], c.baseline) for c in cams)
+        cam_statics = tuple(
+            (int(c.size[0]), int(c.size[1])) for c in cams)
+        rng = np.random.RandomState(0)
+        frames = jnp.asarray(rng.rand(B, 2, h, w).astype(np.float32))
+
+        def one_state(img, right):
+            pyr = build_pyramid(img, levels)
+            dxs, dys = zip(*[sobel_xy(p) for p in pyr])
+            disp = block_matching_disparity(img, right, num_disp=16,
+                                            radius=5)
+            return FS._cloud_state(
+                pyr, disp, jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32), cam_params, levels, dxs, dys)
+
+        clouds, valids, intens, Js = jax.vmap(one_state)(
+            frames[:, 0], frames[:, 1])
+        batch = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        poses_b = jax.tree.map(batch, PoseTable.empty())
+        points_b = jax.tree.map(batch, PointTable.empty())
+        cand = jnp.full((B, 768), -1, jnp.int32)
+        Rb = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+        tb = jnp.zeros((B, 3), jnp.float32)
+        ak = jnp.zeros((B,), jnp.int32)
+
+        step = build_multistream_frontend(None, cam_params, cam_statics,
+                                          levels=levels, num_disp=16)
+        out = step(frames, clouds, intens, valids, Js, Rb, tb, ak,
+                   poses_b, points_b, cand)
+
+        for s in range(B):
+            ref = FS.frontend_step(
+                frames[s],
+                jax.tree.map(lambda x: x[s], clouds),
+                jax.tree.map(lambda x: x[s], intens),
+                jax.tree.map(lambda x: x[s], valids),
+                jax.tree.map(lambda x: x[s], Js),
+                Rb[s], tb[s], ak[s],
+                jax.tree.map(lambda x: x[s], poses_b),
+                jax.tree.map(lambda x: x[s], points_b),
+                cand[s], cam_params, cam_statics, levels, 16, False,
+                2.0, 0.18, 1)
+            np.testing.assert_allclose(
+                np.asarray(out.packed[s]), np.asarray(ref.packed),
+                atol=1e-4)

@@ -738,6 +738,26 @@ class StereoFrontend:
         self._ready_packets.append(pkt)
         return pkt
 
+    def reseed(self, R_cw: np.ndarray, t_cw: np.ndarray,
+               actkey_id: int = None):
+        """Re-seed the tracking state at an externally estimated world pose
+        (relocalization — no reference analogue; the reference exits on
+        tracking failure, stereo_slam.cpp:706-710). In-flight pipelined
+        frames are discarded (their pose chain is invalid)."""
+        self._pending.clear()
+        self._pending_spawn = None
+        self._dev_R_cw = None
+        self._dev_t_cw = None
+        self._R_cw = np.asarray(R_cw, np.float32)
+        self._t_cw = np.asarray(t_cw, np.float32)
+        if actkey_id is not None and actkey_id in self.pose_np:
+            self.actkey_id = actkey_id
+        if self.actkey_id in self.pose_np:
+            Rk, tk = self.pose_np[self.actkey_id]
+            self._R_cak = (self._R_cw @ Rk.T).astype(np.float32)
+            self._t_cak = (self._t_cw - self._R_cak @ tk).astype(np.float32)
+        self._cand_np = None
+
     def take_ready_packets(self):
         """Finalized keyframe packets since the last call (drained by the
         system's main loop, which pushes them to the backend monitor)."""

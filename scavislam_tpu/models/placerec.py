@@ -253,6 +253,40 @@ class PlaceRecognizer:
         return DetectedLoop(query.kf_id, cand.kf_id, T)
 
 
+    def relocalize(self, img, disp, top_k: int = 3):
+        """Global relocalization: find WHERE an arbitrary frame is, with no
+        covisibility prior.
+
+        CAPABILITY BEYOND THE REFERENCE: the reference has no recovery —
+        tracking failure prints FAILURE! and exits (stereo_slam.cpp:706-710,
+        SURVEY.md §5 'failure detection: none'). Here the same BoW index +
+        geometric check that powers loop closure answers the kidnapped-robot
+        query: TF-IDF scoring with an EMPTY exclude set, then the 3-point
+        RANSAC check against the top-k scoring keyframes.
+
+        Returns (loop_kf_id, (R, t) of T_query_from_loop as numpy) or None.
+        """
+        words, desc, uvd, xyz, valid = self.describe(img, disp)
+        wv = words[valid]
+        if len(wv) < 3 or not self.location_map:
+            return None
+        scores = self._score(wv, exclude=set())
+        if not scores:
+            return None
+        best = sorted(scores.items(), key=lambda kv: -kv[1])[:top_k]
+        place = Place(-1, wv, desc[valid], uvd[valid], xyz[valid], set(),
+                      padded=(np.asarray(desc, np.float32),
+                              np.asarray(xyz, np.float32),
+                              np.asarray(valid, bool)))
+        for kf, _sc in best:
+            loop = self._geometric_check(place, self.location_map[kf])
+            if loop is not None:
+                T = loop.T_query_from_loop
+                return loop.loop_id, (
+                    np.asarray(T.R, np.float32), np.asarray(T.t, np.float32)
+                )
+        return None
+
 # -- vocabulary training (device k-means) ----------------------------------- #
 
 def train_vocabulary(descriptors: np.ndarray, k: int = 1024,

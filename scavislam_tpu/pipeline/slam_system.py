@@ -81,9 +81,16 @@ class SlamSystem:
         self.threaded = threaded
         self._stop = threading.Event()
         self._threads = []
-        self.trajectory = []  # (frame_id, SE3 T_cw estimate)
+        self.trajectory = []  # (frame_id, PoseRT T_cw estimate)
         self.closed_loops = []
         self.tracking_ok = True
+        # relocalization (no reference analogue — the reference exits on
+        # tracking failure): when place recognition is available, a failure
+        # puts the system in `lost` mode; each new frame is BoW-queried
+        # against the keyframe index until a geometric check re-seeds the
+        # pose. relocalizations counts successful recoveries.
+        self.lost = False
+        self.relocalizations = 0
         # pipelined: overlap the device step with the host fetch/policy of
         # the previous frame (keyframe decisions lag one frame)
         self.pipelined = pipelined
@@ -113,9 +120,18 @@ class SlamSystem:
         )
 
     def process_frame(self, frame: dict) -> bool:
-        """One main-loop iteration. Returns False on tracking failure."""
+        """One main-loop iteration. Returns False on tracking failure
+        (unrecoverable: no place recognizer, or relocalization pending —
+        the system stays alive in `lost` mode while one is available)."""
         pm = self.per_mon
         pm.new_frame()
+
+        if self.lost:
+            if self._try_relocalize(frame):
+                self.lost = False
+                self.tracking_ok = True
+                self.relocalizations += 1
+            return True  # stay alive; keep consuming frames while lost
 
         # neighborhood adoption (stereo_slam.cpp:694-703)
         nb = self.backend_monitor.getNeighborhood()
@@ -139,6 +155,12 @@ class SlamSystem:
             consumed_id = frame.get("frame_id", len(self.trajectory))
         pm.stop("dense tracking")
         if not success:
+            if self.place_recognizer is not None:
+                self.lost = True
+                # drop stale in-flight frames; relocalization restarts the
+                # chain from scratch
+                self.frontend._pending.clear()
+                return True
             self.tracking_ok = False
             return False
 
@@ -155,6 +177,42 @@ class SlamSystem:
 
         self.trajectory.append(
             (consumed_id, self.frontend._world_pose())
+        )
+        return True
+
+    def _try_relocalize(self, frame: dict) -> bool:
+        """Kidnapped-robot recovery: run the fused step for this frame's
+        pyramid + disparity (its pose output is garbage and discarded),
+        BoW-query the place index with NO covisibility exclusions, and on a
+        passed geometric check re-seed the frontend at
+        T_query_from_loop * T_loop_from_world."""
+        import jax.numpy as jnp
+
+        fe = self.frontend
+        cand = np.full((len(fe._collect_candidates()),), -1, np.int64)
+        out = fe._run_step(frame, cand)
+        hit = self.place_recognizer.relocalize(out.pyr[0], out.disp)
+        if hit is None:
+            return False
+        loop_id, (R_ql, t_ql) = hit
+        # loop keyframe's world pose: prefer the backend-optimized graph
+        g = self.backend.graph
+        if loop_id in g.vertices:
+            R_lw = np.asarray(g.vertices[loop_id].R, np.float32)
+            t_lw = np.asarray(g.vertices[loop_id].t, np.float32)
+        elif loop_id in fe.pose_np:
+            R_lw, t_lw = fe.pose_np[loop_id]
+        else:
+            return False
+        R_qw = (R_ql @ R_lw).astype(np.float32)
+        t_qw = (R_ql @ t_lw + t_ql).astype(np.float32)
+        fe.reseed(R_qw, t_qw, actkey_id=loop_id)
+        # the step's rolled cloud state anchors dense tracking at THIS
+        # frame, so the next frame tracks normally from the recovered pose
+        fe._roll(out)
+        self.trajectory.append(
+            (frame.get("frame_id", len(self.trajectory)),
+             fe._world_pose())
         )
         return True
 

@@ -48,6 +48,12 @@ def main(argv=None):
                     help="run backend/PR in real threads (reference topology)")
     ap.add_argument("--vocabulary", help=".npz vocabulary from create_dictionary")
     ap.add_argument("--save-map", help="save the final SLAM graph to .npz")
+    ap.add_argument("--save-system",
+                    help="checkpoint the FULL system (graph + frontend "
+                         "tables + BoW index) for resume/map reuse")
+    ap.add_argument("--load-system",
+                    help="start from a saved system checkpoint; begins in "
+                         "lost mode and relocalizes against the loaded map")
     ap.add_argument("--save-traj-tum", help="export trajectory in TUM format")
     ap.add_argument("--viz", help="render a top-down map PNG at the end")
     ap.add_argument("--pipelined", action="store_true",
@@ -81,12 +87,21 @@ def main(argv=None):
 
     from scavislam_tpu.pipeline.slam_system import SlamSystem, ate_rmse
 
-    system = SlamSystem(
-        cam, cfg, threaded=args.threaded,
-        enable_loop_closure=not args.no_loop_closure,
-        vocabulary=vocab, pipelined=args.pipelined,
-        pipeline_depth=args.pipeline_depth,
-    )
+    if args.load_system:
+        from scavislam_tpu.utils.serialization import load_system
+
+        system = load_system(
+            args.load_system, cam, cfg, threaded=args.threaded,
+            enable_loop_closure=not args.no_loop_closure,
+            pipelined=args.pipelined, pipeline_depth=args.pipeline_depth,
+        )
+    else:
+        system = SlamSystem(
+            cam, cfg, threaded=args.threaded,
+            enable_loop_closure=not args.no_loop_closure,
+            vocabulary=vocab, pipelined=args.pipelined,
+            pipeline_depth=args.pipeline_depth,
+        )
 
     gt_poses = []
     if args.synthetic:
@@ -161,6 +176,10 @@ def main(argv=None):
         from scavislam_tpu.utils.serialization import save_graph
 
         save_graph(system.backend.graph, args.save_map)
+    if args.save_system:
+        from scavislam_tpu.utils.serialization import save_system
+
+        save_system(system, args.save_system)
     if args.viz:
         from scavislam_tpu.apps.visualize import render_map_topdown
 

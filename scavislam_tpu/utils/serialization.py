@@ -148,3 +148,153 @@ def _quat_from_R(R):
     q[1 + j] = (R[j, i] + R[i, j]) / s
     q[1 + k] = (R[k, i] + R[i, k]) / s
     return q
+
+
+# -- full-system checkpoint / resume ---------------------------------------- #
+
+def save_system(system, path: str):
+    """Checkpoint a running SlamSystem: backend graph + frontend device
+    tables/mirrors + the place-recognition index, one compressed .npz.
+
+    Together with ``load_system`` this enables (a) stop/resume of a mapping
+    run and (b) OFFLINE MAP REUSE: a fresh session loads the map, starts in
+    `lost` mode, and localizes against it through the BoW index — neither
+    exists in the reference (its persistence methods are assert(false)
+    stubs, anchored_points.cpp:61-74).
+
+    Keyframe image snapshots are intentionally NOT saved (they exist for
+    backend re-matching of in-flight work); loaded keyframes simply cannot
+    serve as registration/loop re-match targets, which degrades gracefully.
+    """
+    fe = system.frontend
+    g = system.backend.graph
+
+    # graph section (same layout as save_graph, inlined to share one file)
+    import io as _io
+
+    buf = _io.BytesIO()
+    save_graph(g, buf)
+    buf.seek(0)
+    gz = np.load(buf, allow_pickle=False)
+    arrays = {f"g_{k}": gz[k] for k in gz.files}
+
+    # frontend device tables + host mirrors
+    arrays.update(
+        fp_psi=np.asarray(fe.points.psi),
+        fp_anchor=np.asarray(fe.points.anchor),
+        fp_level=np.asarray(fe.points.level),
+        fp_patch=np.asarray(fe.points.patch, np.float32),
+        fp_uv0=np.asarray(fe.points.uv0),
+        fp_valid=np.asarray(fe.points.valid),
+        po_R=np.asarray(fe.poses.R),
+        po_t=np.asarray(fe.poses.t),
+        po_valid=np.asarray(fe.poses.valid),
+        meta_anchor=fe._meta_anchor,
+        meta_level=fe._meta_level,
+    )
+    fmeta = {
+        "next_kf": fe.next_kf,
+        "next_point": fe.next_point,
+        "actkey_id": fe.actkey_id,
+        "kf_point_ids": {str(k): np.asarray(v).tolist()
+                         for k, v in fe.kf_point_ids.items()},
+        "covis": {str(k): {str(a): int(s) for a, s in d.items()}
+                  for k, d in fe.covis.items()},
+        "pose_np": {str(k): [np.asarray(R).tolist(), np.asarray(t).tolist()]
+                    for k, (R, t) in fe.pose_np.items()},
+    }
+    arrays["f_meta"] = np.asarray(json.dumps(fmeta))
+
+    # place-recognition index
+    pr = system.place_recognizer
+    if pr is not None and pr.location_map:
+        ids = sorted(pr.location_map)
+        places = [pr.location_map[k] for k in ids]
+        arrays.update(
+            pr_ids=np.asarray(ids, np.int64),
+            pr_words=np.concatenate(
+                [np.asarray(p.words, np.int64) for p in places]),
+            pr_word_off=np.cumsum(
+                [0] + [len(p.words) for p in places])[:-1],
+            pr_desc_p=np.stack([p.padded[0] for p in places]),
+            pr_xyz_p=np.stack([p.padded[1] for p in places]),
+            pr_valid_p=np.stack([p.padded[2] for p in places]),
+            pr_vocab=np.asarray(pr.vocab, np.float32),
+        )
+    np.savez_compressed(path, **arrays)
+
+
+def load_system(path: str, cam, cfg=None, **system_kw):
+    """Restore a SlamSystem from ``save_system``. The system starts in
+    `lost` mode: the first processed frame relocalizes against the loaded
+    map through the BoW index (offline map reuse)."""
+    import jax.numpy as jnp
+
+    from scavislam_tpu.models.map_store import PointTable, PoseTable
+    from scavislam_tpu.models.placerec import Place
+    from scavislam_tpu.pipeline.slam_system import SlamSystem
+
+    z = np.load(path, allow_pickle=False)
+    vocab = z["pr_vocab"] if "pr_vocab" in z.files else None
+    system = SlamSystem(cam, cfg, vocabulary=vocab, **system_kw)
+    fe = system.frontend
+
+    fe.points = PointTable(
+        jnp.asarray(z["fp_psi"]), jnp.asarray(z["fp_anchor"]),
+        jnp.asarray(z["fp_level"]), jnp.asarray(z["fp_patch"]),
+        jnp.asarray(z["fp_uv0"]), jnp.asarray(z["fp_valid"]),
+    )
+    fe.poses = PoseTable(
+        jnp.asarray(z["po_R"]), jnp.asarray(z["po_t"]),
+        jnp.asarray(z["po_valid"]),
+    )
+    fe._meta_anchor = z["meta_anchor"].copy()
+    fe._meta_level = z["meta_level"].copy()
+    fmeta = json.loads(str(z["f_meta"]))
+    fe.next_kf = int(fmeta["next_kf"])
+    fe.next_point = int(fmeta["next_point"])
+    fe.actkey_id = int(fmeta["actkey_id"])
+    fe.kf_point_ids = {int(k): np.asarray(v, np.int64)
+                       for k, v in fmeta["kf_point_ids"].items()}
+    fe.covis = {int(k): {int(a): int(s) for a, s in d.items()}
+                for k, d in fmeta["covis"].items()}
+    fe.pose_np = {
+        int(k): (np.asarray(R, np.float32), np.asarray(t, np.float32))
+        for k, (R, t) in fmeta["pose_np"].items()
+    }
+
+    # graph (re-pack the g_ arrays into an npz stream for load_graph)
+    import io as _io
+
+    buf = _io.BytesIO()
+    np.savez(buf, **{k[2:]: z[k] for k in z.files if k.startswith("g_")})
+    buf.seek(0)
+    system.backend.graph = load_graph(buf, cam)
+    system.backend.prev_kf_id = max(
+        system.backend.graph.vertices, default=None)
+
+    # place-recognition index
+    pr = system.place_recognizer
+    if pr is not None and "pr_ids" in z.files:
+        offs = list(z["pr_word_off"]) + [len(z["pr_words"])]
+        for i, kf in enumerate(z["pr_ids"]):
+            words = z["pr_words"][offs[i]:offs[i + 1]]
+            padded = (z["pr_desc_p"][i].copy(), z["pr_xyz_p"][i].copy(),
+                      z["pr_valid_p"][i].copy())
+            valid = padded[2]
+            place = Place(int(kf), words, padded[0][valid], None,
+                          padded[1][valid], set(), padded=padded)
+            pr.location_map[int(kf)] = place
+            for w, c in zip(*np.unique(words, return_counts=True)):
+                pr.inverted_index[int(w)][int(kf)] = int(c)
+                pr.word_doc_count[int(w)] += 1
+
+    # fresh dense-tracking state (the relocalization step's fused run
+    # rebuilds the real cloud from its own frame)
+    h, w = cam.size[1], cam.size[0]
+    (fe._prev_clouds, fe._prev_intens, fe._prev_valids,
+     fe._prev_J) = fe._empty_prev_state((h, w))
+
+    # a loaded map has no live tracking state: localize first
+    system.lost = system.place_recognizer is not None
+    return system

@@ -95,3 +95,56 @@ class TestRelocalization:
         assert not system.process_frame(noise)  # reference-like: hard fail
         assert not system.tracking_ok
         system.shutdown()
+
+
+class TestMapReuse:
+    def test_save_load_relocalize_continue(self, tmp_path):
+        """Offline map reuse: map a sequence, checkpoint the FULL system,
+        load it fresh, and localize+track against the prior map (the
+        reference's persistence is assert(false) stubs)."""
+        from scavislam_tpu.utils.serialization import (
+            load_system,
+            save_system,
+        )
+
+        n = 12
+        seq = SyntheticSequence(CAM, n_frames=n, step=0.02)
+        frames = [seq.frame(i) for i in range(n)]
+        mapper = SlamSystem(CAM, small_cfg(), threaded=False,
+                            enable_loop_closure=True)
+        mapper.place_recognizer.score_thr = 0.01
+        mapper.place_recognizer.min_inliers = 10
+        mapper.process_first_frame(frames[0])
+        for f in frames[1:10]:
+            assert mapper.process_frame(dict(f))
+        assert len(mapper.place_recognizer.location_map) >= 1
+        path = str(tmp_path / "map.npz")
+        save_system(mapper, path)
+        mapper.shutdown()
+
+        system = load_system(path, CAM, small_cfg(), threaded=False,
+                             enable_loop_closure=True)
+        system.place_recognizer.score_thr = 0.01
+        system.place_recognizer.min_inliers = 10
+        assert system.lost  # must localize against the prior map first
+        assert len(system.place_recognizer.location_map) >= 1
+        assert len(system.backend.graph.vertices) >= 2
+
+        wake = dict(frames[5])
+        wake["frame_id"] = 300
+        assert system.process_frame(wake)
+        assert not system.lost, "did not localize against the loaded map"
+        T_est = dict(system.trajectory)[300]
+        err = np.asarray((T_est @ frames[5]["T_cw_gt"].inverse()).t)
+        assert np.linalg.norm(err) < 0.25, err
+
+        # tracking continues against the LOADED map's candidates
+        for i in range(6, 9):
+            nxt = dict(frames[i])
+            nxt["frame_id"] = 300 + i
+            assert system.process_frame(nxt)
+        assert not system.lost
+        T_last = dict(system.trajectory)[308]
+        err2 = np.asarray((T_last @ frames[8]["T_cw_gt"].inverse()).t)
+        assert np.linalg.norm(err2) < 0.1, err2
+        system.shutdown()

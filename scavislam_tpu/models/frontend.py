@@ -177,8 +177,9 @@ class StereoFrontend:
         # chip); with one worker the fetch THROUGHPUT (1/RT) caps the frame
         # rate even though the latency is hidden. Concurrent round-trips
         # overlap on the link; per-frame futures keep results ordered.
-        # Sized for depth-2 pipelining (2 frame fetches) + a spawn-payload
-        # fetch + one frame of slack.
+        # NOTE: 6 workers measured SLOWER (more GIL contention from fetch
+        # threads at small frame sizes); 4 covers depth-4 pipelining in
+        # practice because fetches resolve within ~1.5 frame periods.
         self._fetch_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="packed-fetch"
         )

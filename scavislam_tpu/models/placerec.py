@@ -108,9 +108,21 @@ class PlaceRecognizer:
             axis=1,
         )
         uvd = jnp.stack([uv[:, 0], uv[:, 1], d], axis=-1)
+        # ONE packed fetch: five separate np.asarray calls cost five tunnel
+        # round-trips (~25 ms each) per keyframe indexed / per lost-mode
+        # relocalization attempt
+        n = desc.shape[0]
+        packed = np.asarray(jnp.concatenate([
+            words.astype(jnp.float32)[:, None], desc, uvd, xyz,
+            valid.astype(jnp.float32)[:, None],
+        ], axis=1))
+        dcols = desc.shape[1]
         return (
-            np.asarray(words), np.asarray(desc), np.asarray(uvd),
-            np.asarray(xyz), np.asarray(valid),
+            packed[:, 0].astype(np.int64),
+            packed[:, 1:1 + dcols],
+            packed[:, 1 + dcols:4 + dcols],
+            packed[:, 4 + dcols:7 + dcols],
+            packed[:, 7 + dcols] > 0.5,
         )
 
     # ------------------------------------------------------------------ #

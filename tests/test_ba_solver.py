@@ -199,3 +199,37 @@ class TestPoseGraph:
             assert float(jnp.max(jnp.abs(err))) < 1e-3, (
                 f"pose {i}: {np.asarray(err)}"
             )
+
+
+class TestSortedScatterPath:
+    def test_anchor_perm_matches_unsorted(self):
+        """The host-sorted W-block scatter fast path (anchor_perm) must give
+        the same solution as the unsorted path — on a problem packed the
+        way slam_graph.optimize packs it (obs sorted by (pose, point))."""
+        import __graft_entry__ as G
+        from scavislam_tpu.models.ba_solver import solve_ba
+
+        _, (prob,) = G.entry()
+        cam_params = (389.96, 254.9, 201.9, 0.12)
+        obs_pose = np.asarray(prob.obs_pose)
+        obs_point = np.asarray(prob.obs_point)
+        order = np.lexsort((obs_point, obs_pose))
+        prob = prob._replace(
+            obs_pose=jnp.asarray(obs_pose[order]),
+            obs_point=jnp.asarray(obs_point[order]),
+            obs_uvu=jnp.asarray(np.asarray(prob.obs_uvu)[order]),
+            obs_weight=jnp.asarray(np.asarray(prob.obs_weight)[order]),
+            obs_valid=jnp.asarray(np.asarray(prob.obs_valid)[order]),
+        )
+        anchor = np.asarray(prob.anchor_slot)[np.asarray(prob.obs_point)]
+        aperm = np.lexsort((np.asarray(prob.obs_point), anchor)).astype(
+            np.int32)
+
+        R1, t1, psi1, s1 = solve_ba(cam_params, prob, iters=2)
+        R2, t2, psi2, s2 = solve_ba(cam_params, prob, iters=2,
+                                    anchor_perm=jnp.asarray(aperm))
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(psi1), np.asarray(psi2),
+                                   atol=2e-5)
+        assert abs(float(s1.chi2_final) - float(s2.chi2_final)) <= (
+            1e-3 * max(1.0, float(s1.chi2_final)))

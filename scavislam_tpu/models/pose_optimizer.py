@@ -228,6 +228,8 @@ def filter_points_info(
     loop; here every candidate landmark in the keyframe filters in parallel
     as one fixed-iteration jitted program (vmap-free batched math, masked).
     """
+    from scavislam_tpu.models.ba_solver import _inv3x3
+
     focal, ppx, ppy = cam_params
     psi0 = psi
     eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -279,9 +281,6 @@ def filter_points_info(
         g = jnp.einsum("nki,nk->ni", J, r_cur) + jnp.einsum(
             "nij,nj->ni", Lambda, psi0 - p_cur)
         H = Lambda + V + mu[:, None, None] * eye3
-        # 3x3 solve in closed form (shared batched inverse)
-        from scavislam_tpu.models.ba_solver import _inv3x3
-
         delta = jnp.einsum("nij,nj->ni", _inv3x3(H), g)
         p_new = p_cur + delta
         res_new, _, _ = cost(p_new)

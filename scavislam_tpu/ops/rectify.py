@@ -64,7 +64,6 @@ def remap(img: jnp.ndarray, rect_map: jnp.ndarray) -> jnp.ndarray:
 
 
 import jax
-from functools import partial
 
 
 @jax.jit

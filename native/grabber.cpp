@@ -7,12 +7,15 @@
 // filegrabber.cpp:54-61) so disk latency never stalls the tracking loop.
 //
 // Formats: binary PGM (P5) and PPM (P6) — the New College sequences ship as
-// .pnm — plus raw float32 disparity dumps. PNG/JPEG decode stays on the
-// Python side (PIL) through the same prefetch queue.
+// .pnm — plus 8-bit non-interlaced PNG (gray / RGB / RGBA, all filter
+// types; covers everything dump_sequence writes and typical dataset PNGs).
+// Exotic PNGs (16-bit, palette, interlaced) and JPEG fall back to PIL on
+// the Python side through the same prefetch queue.
 //
 // C ABI only (consumed via ctypes; no pybind11 in this image).
 
 #include <atomic>
+#include <zlib.h>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -67,6 +70,126 @@ bool load_pnm(const std::string &path, Image *out) {
   return got == out->data.size();
 }
 
+// ---- minimal PNG decoder (8-bit, non-interlaced, color types 0/2/6) ------
+
+inline int paeth(int a, int b, int c) {
+  int p = a + b - c, pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  return (pb <= pc) ? b : c;
+}
+
+bool load_png(const std::string &path, Image *out) {
+  FILE *f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  uint8_t sig[8];
+  static const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (fread(sig, 1, 8, f) != 8 || memcmp(sig, kSig, 8) != 0) {
+    fclose(f);
+    return false;
+  }
+  auto rd32 = [&](uint32_t *v) {
+    uint8_t b[4];
+    if (fread(b, 1, 4, f) != 4) return false;
+    *v = (uint32_t(b[0]) << 24) | (uint32_t(b[1]) << 16) |
+         (uint32_t(b[2]) << 8) | b[3];
+    return true;
+  };
+  uint32_t w = 0, h = 0;
+  int channels = 0;
+  std::vector<uint8_t> idat;
+  bool seen_ihdr = false;
+  for (;;) {
+    uint32_t len, type;
+    if (!rd32(&len) || !rd32(&type)) { fclose(f); return false; }
+    if (type == 0x49484452u) {  // IHDR
+      uint8_t hdr[13];
+      if (len != 13 || fread(hdr, 1, 13, f) != 13) { fclose(f); return false; }
+      w = (uint32_t(hdr[0]) << 24) | (uint32_t(hdr[1]) << 16) |
+          (uint32_t(hdr[2]) << 8) | hdr[3];
+      h = (uint32_t(hdr[4]) << 24) | (uint32_t(hdr[5]) << 16) |
+          (uint32_t(hdr[6]) << 8) | hdr[7];
+      int depth = hdr[8], color = hdr[9], interlace = hdr[12];
+      if (depth != 8 || interlace != 0) { fclose(f); return false; }
+      if (color == 0) channels = 1;
+      else if (color == 2) channels = 3;
+      else if (color == 6) channels = 4;
+      else { fclose(f); return false; }  // palette/gray+alpha -> PIL
+      seen_ihdr = true;
+    } else if (type == 0x49444154u) {  // IDAT
+      size_t off = idat.size();
+      idat.resize(off + len);
+      if (len && fread(idat.data() + off, 1, len, f) != len) {
+        fclose(f);
+        return false;
+      }
+    } else if (type == 0x49454E44u) {  // IEND
+      fseek(f, 4, SEEK_CUR);
+      break;
+    } else {
+      if (fseek(f, len, SEEK_CUR) != 0) { fclose(f); return false; }
+    }
+    fseek(f, 4, SEEK_CUR);  // CRC (not verified — decode, don't validate)
+  }
+  fclose(f);
+  if (!seen_ihdr || w == 0 || h == 0 || idat.empty()) return false;
+
+  const size_t stride = size_t(w) * channels;
+  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+  uLongf raw_len = raw.size();
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+      raw_len != raw.size())
+    return false;
+
+  out->width = int(w);
+  out->height = int(h);
+  out->channels = channels;
+  out->data.assign(size_t(h) * stride, 0);
+  const int bpp = channels;
+  for (size_t y = 0; y < h; ++y) {
+    const uint8_t *src = raw.data() + y * (stride + 1);
+    uint8_t filt = src[0];
+    const uint8_t *s = src + 1;
+    uint8_t *dst = out->data.data() + y * stride;
+    const uint8_t *up = y ? dst - stride : nullptr;
+    switch (filt) {
+      case 0:
+        memcpy(dst, s, stride);
+        break;
+      case 1:  // Sub
+        for (size_t i = 0; i < stride; ++i)
+          dst[i] = uint8_t(s[i] + (i >= size_t(bpp) ? dst[i - bpp] : 0));
+        break;
+      case 2:  // Up
+        for (size_t i = 0; i < stride; ++i)
+          dst[i] = uint8_t(s[i] + (up ? up[i] : 0));
+        break;
+      case 3:  // Average
+        for (size_t i = 0; i < stride; ++i) {
+          int a = i >= size_t(bpp) ? dst[i - bpp] : 0;
+          int b = up ? up[i] : 0;
+          dst[i] = uint8_t(s[i] + ((a + b) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < stride; ++i) {
+          int a = i >= size_t(bpp) ? dst[i - bpp] : 0;
+          int b = up ? up[i] : 0;
+          int c = (up && i >= size_t(bpp)) ? up[i - bpp] : 0;
+          dst[i] = uint8_t(s[i] + paeth(a, b, c));
+        }
+        break;
+      default:
+        return false;
+    }
+  }
+  return true;
+}
+
+bool load_image_any(const std::string &path, Image *out) {
+  if (load_pnm(path, out)) return true;
+  return load_png(path, out);
+}
+
 void scan_recursive(const std::string &dir, const std::regex &re,
                     std::vector<std::string> *out) {
   DIR *d = opendir(dir.c_str());
@@ -109,7 +232,7 @@ struct Sequence {
     for (size_t i = 0; i < files.size() && !stop.load(); ++i) {
       Frame fr;
       fr.index = static_cast<int64_t>(i);
-      fr.ok = load_pnm(files[i], &fr.img);
+      fr.ok = load_image_any(files[i], &fr.img);
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [&] { return buffer.size() < max_buffer || stop.load(); });
       if (stop.load()) return;
@@ -156,12 +279,13 @@ int svt_scan_get(int idx, char *out, int cap) {
 
 // ---- single-image decode --------------------------------------------------
 
-// Decode a PNM into caller-provided buffer. Returns 0 on success and fills
-// w/h/c; if buf is null only probes the header. buf must hold w*h*c bytes.
+// Decode a PNM or 8-bit non-interlaced PNG into a caller-provided buffer.
+// Returns 0 on success and fills w/h/c; if buf is null only probes the
+// header. buf must hold w*h*c bytes. (Name kept for ctypes ABI compat.)
 int svt_load_pnm(const char *path, uint8_t *buf, int64_t buf_cap,
                  int *w, int *h, int *c) {
   Image img;
-  if (!load_pnm(path, &img)) return -1;
+  if (!load_image_any(path, &img)) return -1;
   *w = img.width; *h = img.height; *c = img.channels;
   if (buf == nullptr) return 0;
   if (static_cast<int64_t>(img.data.size()) > buf_cap) return -2;

@@ -9,7 +9,8 @@ reference stores float disparity maps as 4-channel byte PNGs,
 frame_grabber.cpp:153-162), and depth->disparity conversion.
 
 The hot path (scan + PNM decode + prefetch) runs in native C++
-(native/grabber.cpp via ctypes); PNG/JPEG fall back to PIL inside a Python
+(native/grabber.cpp via ctypes — PNM and 8-bit non-interlaced PNG decode in
+C++); exotic PNGs/JPEG fall back to PIL inside a Python
 prefetch thread with identical queue semantics.
 """
 
@@ -88,7 +89,7 @@ def scan_dataset(path: str, base_pattern: str = ".*") -> list[str]:
 def load_image(path: str) -> np.ndarray:
     """Decode one image to a numpy array (uint8, HxW or HxWx3)."""
     lib = _native()
-    if lib and path.lower().endswith((".pnm", ".pgm", ".ppm")):
+    if lib and path.lower().endswith((".pnm", ".pgm", ".ppm", ".png")):
         w = ctypes.c_int()
         h = ctypes.c_int()
         c = ctypes.c_int()

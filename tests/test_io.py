@@ -160,3 +160,28 @@ class TestRgbdGrabber:
         assert rgb.shape[:2] == (192, 256)
         assert disp.shape == (192, 256)
         assert np.isfinite(disp).all()
+
+
+class TestNativePng:
+    def test_native_png_decode_matches_pil(self, tmp_path):
+        """The C++ grabber decodes 8-bit non-interlaced PNG (gray/RGB/RGBA,
+        all filter types) bit-exactly; exotic formats fall back to PIL."""
+        from PIL import Image
+
+        from scavislam_tpu.io.filegrabber import _native, load_image
+
+        if _native() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.RandomState(0)
+        cases = {
+            "gray": rng.randint(0, 256, (48, 64), np.uint8),
+            "rgb": rng.randint(0, 256, (33, 57, 3), np.uint8),
+            "rgba": rng.randint(0, 256, (24, 31, 4), np.uint8),
+            # smooth gradients exercise the Sub/Up/Average/Paeth filters
+            "smooth": np.tile(np.arange(256, dtype=np.uint8), (40, 1)),
+        }
+        for name, arr in cases.items():
+            p = str(tmp_path / f"{name}.png")
+            Image.fromarray(arr).save(p)
+            np.testing.assert_array_equal(
+                load_image(p), np.asarray(Image.open(p)), err_msg=name)

@@ -38,25 +38,64 @@ def descriptors_for_image(img_f32, budget=1024):
     return np.asarray(desc)[keep]
 
 
+def synthetic_corpus_descriptors(verbose=True):
+    """The canonical training corpus behind the SHIPPED
+    scavislam_tpu/data/vocabulary.npz: eight varied_box scenes (seeds 1-8,
+    texture phases disjoint from the benchmark scenes default_room and
+    closed_box) under mixed spin/orbit/forward trajectories, New College
+    geometry (512x384, f=389.96). Deterministic — rerunning this function
+    reproduces the artifact bit-for-bit."""
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.io.synthetic import SyntheticSequence, varied_box
+
+    cam = StereoCamera.create(389.96, (254.9, 201.9), (512, 384), 0.12)
+    descs = []
+    kinds = ["spin", "orbit", "forward_arc", "out_and_back"]
+    for seed in range(1, 9):
+        kind = kinds[(seed - 1) % len(kinds)]
+        n = 16
+        step = 1.0 / (n - 1) if kind == "spin" else 0.04
+        seq = SyntheticSequence(cam, n_frames=n, kind=kind,
+                                planes=varied_box(seed), step=step)
+        for fr in seq:
+            d = descriptors_for_image(fr["left"])
+            descs.append(d)
+        if verbose:
+            print(f"scene seed={seed} kind={kind}: "
+                  f"{sum(len(x) for x in descs)} descriptors total")
+    return np.concatenate(descs)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("img_dir")
+    ap.add_argument("img_dir", nargs="?",
+                    help="image directory (omit with --synthetic)")
     ap.add_argument("max_images", nargs="?", type=int, default=100)
     ap.add_argument("num_words", nargs="?", type=int, default=1024)
     ap.add_argument("--pattern", default=r".*\.(png|pnm|pgm|jpg)$")
     ap.add_argument("--out", default="dictionary.npz")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on the canonical synthetic corpus (the "
+                         "recipe that produced the shipped vocabulary.npz)")
     args = ap.parse_args(argv)
 
-    files = scan_dataset(args.img_dir, args.pattern)[: args.max_images]
-    if not files:
-        raise SystemExit(f"no images matching {args.pattern} in {args.img_dir}")
-    all_desc = []
-    for f in files:
-        img = to_gray_f32(load_image(f))
-        d = descriptors_for_image(img)
-        all_desc.append(d)
-        print(f"{f}: {len(d)} descriptors")
-    desc = np.concatenate(all_desc)
+    if args.synthetic:
+        desc = synthetic_corpus_descriptors()
+        args.num_words = max(args.num_words, 4096)
+    else:
+        if not args.img_dir:
+            raise SystemExit("img_dir required unless --synthetic")
+        files = scan_dataset(args.img_dir, args.pattern)[: args.max_images]
+        if not files:
+            raise SystemExit(
+                f"no images matching {args.pattern} in {args.img_dir}")
+        all_desc = []
+        for f in files:
+            img = to_gray_f32(load_image(f))
+            d = descriptors_for_image(img)
+            all_desc.append(d)
+            print(f"{f}: {len(d)} descriptors")
+        desc = np.concatenate(all_desc)
     print(f"clustering {len(desc)} descriptors into {args.num_words} words...")
     vocab = train_vocabulary(desc, k=args.num_words, iters=25)
     np.savez_compressed(args.out, vocab=vocab)

@@ -83,6 +83,20 @@ def closed_box() -> list[Plane]:
     ]
 
 
+def varied_box(seed: int) -> list[Plane]:
+    """A closed box with per-plane texture phases drawn from ``seed`` —
+    distinct scene appearance per seed. Used to build the vocabulary-training
+    corpus (scenes disjoint from the benchmark scenes default_room /
+    closed_box) and for robustness sweeps."""
+    f32 = jnp.float32
+    rng = np.random.RandomState(seed)
+    return [
+        Plane(p.normal, p.offset, p.tex_u, p.tex_v,
+              jnp.array(float(rng.uniform(0, 100)), f32))
+        for p in closed_box()
+    ]
+
+
 def _hash_lattice(ix, iy, phase):
     """Pseudo-random value in [0,1) at integer lattice points (sin hash)."""
     h = jnp.sin(ix * 12.9898 + iy * 78.233 + phase * 37.719) * 43758.5453

@@ -55,20 +55,44 @@ class Place:
         self.uvd = uvd  # (N, 3) u, v, disparity
         self.xyz = xyz  # (N, 3) camera-frame points
         self.exclude = exclude  # covisible kf ids at insertion time
+        self.n_words = len(words)  # parity: Location::number_of_words
         # fixed-capacity (MAX_KEYPOINTS) padded views for the DEVICE-side
         # geometric check — variable-length arrays recompile per shape
         self.padded = padded  # (desc_p, xyz_p, valid_p) or None
 
 
-def default_vocabulary(k=1024, dim=128, seed=0) -> np.ndarray:
-    """Random unit vocabulary used when no trained dictionary is supplied
-    (random projections quantize fine for loop-closure retrieval; train a
-    real one with apps/create_dictionary for better recall). The reference
-    ships a 10k-word SURF vocabulary as a PNG (data/surfwords10000.png)."""
+def random_vocabulary(k=1024, dim=128, seed=0) -> np.ndarray:
+    """Random unit vocabulary — last-resort fallback / test fixture only.
+    Random projections give NO TF-IDF separation at the reference operating
+    point (measured: true-revisit median 6.6 vs distractor 5.5, both >2.0);
+    production paths must use the trained dictionary."""
     rng = np.random.RandomState(seed)
     v = rng.randn(k, dim).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
     return v
+
+
+def default_vocabulary() -> np.ndarray:
+    """The shipped trained dictionary (scavislam_tpu/data/vocabulary.npz,
+    4096 words; trained by ``apps/create_dictionary --synthetic`` on varied
+    scenes DISJOINT from every benchmark scene). Counterpart of the
+    reference's 10k-word SURF vocabulary data/surfwords10000.png
+    (placerecognizer.cpp:87-112). Falls back to a random vocabulary with a
+    loud warning if the artifact is missing — recall is badly degraded
+    then."""
+    import os
+    import warnings
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "vocabulary.npz")
+    if os.path.exists(path):
+        return np.load(path)["vocab"].astype(np.float32)
+    warnings.warn(
+        "scavislam_tpu/data/vocabulary.npz not found — falling back to a "
+        "RANDOM vocabulary; loop-closure/relocalization recall will be "
+        "severely degraded. Train one with apps/create_dictionary.",
+        stacklevel=2)
+    return random_vocabulary()
 
 
 class PlaceRecognizer:
@@ -199,19 +223,29 @@ class PlaceRecognizer:
 
     def _score(self, words: np.ndarray, exclude: set) -> dict:
         """TF-IDF accumulation over the inverted index, excluding the covis
-        neighborhood (placerecognizer.cpp:249-298)."""
-        n_docs = max(len(self.location_map), 1)
+        neighborhood — the REFERENCE formula (placerecognizer.cpp:131-171,
+        invoked per query descriptor at 254-298):
+
+            score[other] = sum_w  c_query(w) * tf(w, other) * idf(w)
+            tf  = wordcount(w, other) / number_of_words(other)
+            idf = n_locations / n_locations_containing_word   (unlogged)
+
+        so the acceptance threshold 2.0 (placerecognizer.cpp:316) carries
+        over unmodified. n_locations is the index size BEFORE the query is
+        inserted, exactly like the reference's calcLoopStatistics."""
+        n_docs = float(max(len(self.location_map), 1))
         scores: dict[int, float] = defaultdict(float)
         uw, counts = np.unique(words, return_counts=True)
         for w, c in zip(uw, counts):
             postings = self.inverted_index.get(int(w))
             if not postings:
                 continue
-            idf = np.log(n_docs / max(len(postings), 1)) + 1.0
+            idf = n_docs / len(postings)
             for kf, kc in postings.items():
                 if kf in exclude:
                     continue
-                scores[kf] += float(c) * float(kc) * idf * idf / len(words)
+                n_other = max(self.location_map[kf].n_words, 1)
+                scores[kf] += float(c) * (float(kc) / n_other) * idf
         return dict(scores)
 
     def _geometric_check(self, query: Place, cand: Place):

@@ -32,8 +32,6 @@ class TestRelocalization:
         seq = SyntheticSequence(CAM, n_frames=n, step=0.02)
         system = SlamSystem(CAM, small_cfg(), threaded=False,
                             enable_loop_closure=True)
-        system.place_recognizer.score_thr = 0.01
-        system.place_recognizer.min_inliers = 10
 
         frames = [seq.frame(i) for i in range(n)]
         system.process_first_frame(frames[0])
@@ -112,8 +110,6 @@ class TestMapReuse:
         frames = [seq.frame(i) for i in range(n)]
         mapper = SlamSystem(CAM, small_cfg(), threaded=False,
                             enable_loop_closure=True)
-        mapper.place_recognizer.score_thr = 0.01
-        mapper.place_recognizer.min_inliers = 10
         mapper.process_first_frame(frames[0])
         for f in frames[1:10]:
             assert mapper.process_frame(dict(f))
@@ -124,8 +120,6 @@ class TestMapReuse:
 
         system = load_system(path, CAM, small_cfg(), threaded=False,
                              enable_loop_closure=True)
-        system.place_recognizer.score_thr = 0.01
-        system.place_recognizer.min_inliers = 10
         assert system.lost  # must localize against the prior map first
         assert len(system.place_recognizer.location_map) >= 1
         assert len(system.backend.graph.vertices) >= 2

@@ -466,6 +466,28 @@ class SlamGraph:
         self._root_id = root_id
         return True
 
+    def _select_window_overflow(self, window_ids, P):
+        """Strongest-first selection at P-overflow (the outer anchor
+        extension in `_active_points` can push the window past the BA pose
+        cap): root first, then INNER in BFS order (already strongest-first,
+        slam_graph.cpp:555-596), then OUTER ranked by its strongest covis
+        link into the inner set. Points anchored at a dropped vertex fall
+        out of the active set in `optimize`."""
+        root = getattr(self, "_root_id", window_ids[0])
+        inner = [k for k in window_ids
+                 if self.double_window[k] == INNER and k != root]
+        outer = [k for k in window_ids
+                 if self.double_window[k] != INNER and k != root]
+        inner_set = set(inner) | {root}
+
+        def link_strength(k):
+            ns = self.vertices[k].neighbor_strengths
+            return max((ns.get(i, 0) for i in inner_set), default=0)
+
+        outer.sort(key=link_strength, reverse=True)
+        head = [root] if root in self.double_window else []
+        return (head + inner + outer)[:P]
+
     # -- optimization ------------------------------------------------------ #
     def optimize(self, num_iters: int = 2, huber: float = 3.0):
         """Build the static-shape BAProblem from the current double window and
@@ -476,8 +498,7 @@ class SlamGraph:
         if len(window_ids) < 2:
             return
         if len(window_ids) > P:
-            # keep root + strongest; should not happen with proper configs
-            window_ids = window_ids[:P]
+            window_ids = self._select_window_overflow(window_ids, P)
         slot_of = {kf: i for i, kf in enumerate(window_ids)}
 
         R = np.zeros((P, 3, 3), np.float32)

@@ -175,13 +175,57 @@ class TestOptimize:
             np.testing.assert_allclose(g.vertices[i].t, t0, atol=1e-3)
 
 
+class TestWindowOverflow:
+    def test_strongest_first_selection_at_p_overflow(self):
+        """When the double window exceeds the BA pose cap P, selection must
+        keep the root + all INNER vertices and rank OUTER vertices by their
+        strongest covis link into the inner set — not truncate in dict
+        order (slam_graph.cpp:555-596 orders by covis strength)."""
+        g, _ = build_graph(10)
+        assert g.prepare_for_optimization(9)
+        window_ids = list(g.double_window.keys())
+        inner = {k for k, v in g.double_window.items() if v == INNER}
+        P = len(inner) + 2  # force an overflow that still fits all INNER
+        assert len(window_ids) > P, "test needs a window larger than P"
+        sel = g._select_window_overflow(window_ids, P)
+        assert len(sel) == P
+        assert sel[0] == 9  # root first
+        assert inner <= set(sel), "all INNER vertices must survive"
+        # the kept OUTER vertices must be the strongest-linked ones
+        def strength(k):
+            ns = g.vertices[k].neighbor_strengths
+            return max((ns.get(i, 0) for i in inner), default=0)
+        kept_outer = [k for k in sel if k not in inner]
+        dropped = [k for k in window_ids if k not in sel]
+        if kept_outer and dropped:
+            assert min(strength(k) for k in kept_outer) >= \
+                max(strength(k) for k in dropped)
+
+    def test_optimize_runs_at_p_overflow(self):
+        """optimize() with a window larger than P must run the solve on the
+        strongest-selected subset and still reduce chi2 (nothing anchored at
+        a dropped vertex may leak into the problem)."""
+        g, _ = build_graph(10)
+        assert g.prepare_for_optimization(9)
+        L, O, E = g._caps[1:]
+        g._caps = (6, L, O, E)  # shrink P below the window size
+        assert len(g.double_window) > 6
+        for i in range(1, 10):
+            d = jnp.asarray(rng.randn(6) * 0.005, jnp.float32)
+            g.vertices[i].set_T(SE3.exp(d) @ g.vertices[i].T)
+        g.optimize(num_iters=3)
+        assert g.stats["chi2_final"] < g.stats["chi2_init"]
+
+
 class TestQueries:
     def test_absolute_pose_outside_window(self):
-        g, _ = build_graph(10)
-        g.prepare_for_optimization(9)
+        # 16 keyframes > double_window_size=12 guarantees vertices OUTSIDE
+        # the window (a 10-kf graph was fully covered and the test skipped
+        # itself forever)
+        g, _ = build_graph(16)
+        g.prepare_for_optimization(15)
         outside = [i for i in g.vertices if i not in g.double_window]
-        if not outside:
-            pytest.skip("window covers everything")
+        assert outside, "16 keyframes must overflow the 12-vertex window"
         T = g.compute_absolute_pose(outside[0])
         err = np.asarray((T @ gt_pose(outside[0]).inverse()).t)
         assert np.linalg.norm(err) < 0.05

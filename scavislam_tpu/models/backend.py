@@ -78,6 +78,10 @@ class Backend:
         """One poll iteration of the backend loop (backend.cpp:157-224).
         Returns True if any work was done."""
         did = False
+        # adopt a landed async BA solve before new work (one-poll-later
+        # adoption; the fetch ran in the graph's worker thread meanwhile)
+        if self.graph.adopt_pending():
+            did = True
         pkt = self.monitor.getKeyframe()
         if pkt is not None:
             self.add_keyframe_packet(pkt)
@@ -106,13 +110,19 @@ class Backend:
                     self.monitor.pushDrawData(self.draw_data())
                     nb = self.compute_neighborhood(qid)
                     self.monitor.pushNeighborhood(nb)
-                    self.graph.optimize(num_iters=2, huber=3.0)
+                    # async dispatch: the solve + its fetch overlap with the
+                    # tracking loop; adopted at the top of a later poll (the
+                    # optimized poses reach the frontend through the NEXT
+                    # neighborhood answer either way, backend.cpp:173-189)
+                    self.graph.optimize(num_iters=2, huber=3.0, sync=False)
                     self._graph_dirty = False
                 if pm is not None:
                     pm.stop("back end")
             did = True
 
-        if self.local_registration_stack:
+        # registration would force-adopt the in-flight solve (it mutates the
+        # graph), destroying the overlap — defer it until the fetch lands
+        if self.local_registration_stack and not self.graph.solve_pending():
             fid = self.local_registration_stack.pop()
             self.local_register_frame(fid)
             did = True
@@ -310,7 +320,7 @@ class Backend:
         ]
         g.register_keyframes(root_id, T_new, strengths, tracked)
         if g.prepare_for_optimization(root_id):
-            g.optimize(num_iters=2, huber=3.0)
+            g.optimize(num_iters=2, huber=3.0, sync=False)
         return True
 
     # -- D: global loop closure -------------------------------------------- #
@@ -376,7 +386,7 @@ class Backend:
         g.add_loop_closure(q, l, T_loop_new, tracked)
         self.monitor.pushClosedLoop((q, l))
         if g.prepare_for_optimization(q, loop_id=l):
-            g.optimize(num_iters=2, huber=3.0)
+            g.optimize(num_iters=2, huber=3.0, sync=False)
         return True
 
     # -- shared match+align ------------------------------------------------ #

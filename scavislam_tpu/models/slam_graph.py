@@ -41,7 +41,9 @@ reinitializePoses rebases everything from the root anyway, trajectories agree.
 
 from __future__ import annotations
 
+import time
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -160,6 +162,23 @@ class GraphEdge:
         return self.R_1_from_2 is not None
 
 
+@dataclass
+class _PendingSolve:
+    """One in-flight device BA solve (optimize(sync=False)). The packed
+    result is fetched by a worker thread so the backend poll never blocks on
+    the host<->device link; `pose_pre`/`psi_pre` snapshot the float64 state
+    at dispatch so late adoption after a rebase can be applied as a
+    correction instead of a stale overwrite."""
+
+    future: object  # Future -> packed float32 result vector
+    slot_of: dict  # kf_id -> pose slot
+    pslot: dict  # point_id -> point slot
+    pose_pre: dict  # kf_id -> (R(3,3) f64, t(3,) f64) at dispatch
+    psi_pre: dict  # point_id -> psi(3,) f64 at dispatch
+    dims: tuple  # (P, L)
+    t_dispatch: float
+
+
 class SlamGraph:
     def __init__(
         self,
@@ -181,6 +200,9 @@ class SlamGraph:
         self.outer_points: set = set()
         self._caps = ba_capacity
         self.stats = {"calc_time": 0.0, "chi2_init": 0.0, "chi2_final": 0.0}
+        # async-solve state: at most ONE solve in flight (see optimize)
+        self._pending: Optional[_PendingSolve] = None
+        self._fetch_pool: Optional[ThreadPoolExecutor] = None
 
     # -- edge table (parity: EdgeTable, slam_graph.hpp:197-363) ---------- #
     @staticmethod
@@ -239,6 +261,7 @@ class SlamGraph:
         oldkey_id: int,
     ):
         """Parity: addKeyframe (slam_graph.cpp:143-186)."""
+        self.finish_pending()
         v = GraphVertex(kf_id, *_se3_np(T_kw))
         strengths = dict(strengths)
         # floor the strength to oldkey (slam_graph.cpp:168-175)
@@ -274,6 +297,7 @@ class SlamGraph:
                            strengths: dict, tracked: list):
         """Metric local registration (slam_graph.cpp:188-205): add obs + METRIC
         edges with the root temporarily teleported to its re-registered pose."""
+        self.finish_pending()
         v = self.vertices[root_id]
         saved = (v.R.copy(), v.t.copy())
         v.R, v.t = _se3_np(T_newroot_from_w)
@@ -301,6 +325,7 @@ class SlamGraph:
         """Appearance loop closure (slam_graph.cpp:207-251): constraint
         computed with the loop vertex teleported into the query's metric
         frame."""
+        self.finish_pending()
         strength = len(tracked)
         v_loop = self.vertices[loop_id]
         v_root = self.vertices[root_id]
@@ -454,6 +479,7 @@ class SlamGraph:
 
     def prepare_for_optimization(self, root_id: int, loop_id: int = -1) -> bool:
         """Parity: prepareForOptimization (slam_graph.cpp:288-310)."""
+        self.finish_pending()
         old_window = dict(self.double_window)
         self.double_window = self._compute_double_window(root_id)
         self._active_points()
@@ -489,10 +515,21 @@ class SlamGraph:
         return (head + inner + outer)[:P]
 
     # -- optimization ------------------------------------------------------ #
-    def optimize(self, num_iters: int = 2, huber: float = 3.0):
+    def optimize(self, num_iters: int = 2, huber: float = 3.0,
+                 sync: bool = True):
         """Build the static-shape BAProblem from the current double window and
         run the device Schur solver; write results back.
-        Parity: optimize + copyDataToG2o (slam_graph.cpp:319-355, 907-1080)."""
+        Parity: optimize + copyDataToG2o (slam_graph.cpp:319-355, 907-1080).
+
+        With ``sync=False`` the call returns right after dispatch: the device
+        solve and the result fetch (a full link round-trip on a remote chip)
+        overlap with whatever the caller does next, and the write-back happens
+        at the next `adopt_pending()` — the backend adopts one poll later,
+        which matches the reference's information flow (the optimized poses
+        only reach the frontend through the NEXT neighborhood answer,
+        backend.cpp:173-189). Graph-mutating methods force-adopt first, so
+        asynchrony never reorders graph updates."""
+        self.finish_pending()
         P, L, O, E = self._caps
         window_ids = list(self.double_window.keys())
         if len(window_ids) < 2:
@@ -618,35 +655,97 @@ class SlamGraph:
         ])
         cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
                       self.cam.baseline)
-        import time
 
         t0 = time.perf_counter()
         R_new, t_new, psi_new, stats = _solve_packed(
             cam_params, jnp.asarray(buf), (P, L, O, E), num_iters, huber,
         )
-        # ONE packed fetch for everything (each fetch is a link round-trip)
-        packed = np.asarray(jnp.concatenate([
+        # ONE packed fetch for everything (each fetch is a link round-trip),
+        # pulled by a worker thread so dispatch never blocks on the link
+        packed_dev = jnp.concatenate([
             R_new.reshape(-1), t_new.reshape(-1), psi_new.reshape(-1),
             jnp.stack([stats.chi2_initial, stats.chi2_final]),
-        ]))
+        ])
+        if self._fetch_pool is None:
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ba-fetch")
+        self._pending = _PendingSolve(
+            future=self._fetch_pool.submit(np.asarray, packed_dev),
+            slot_of=slot_of,
+            pslot=pslot,
+            pose_pre={kf: (self.vertices[kf].R.copy(),
+                           self.vertices[kf].t.copy())
+                      for kf in slot_of},
+            psi_pre={pid: self.points[pid].psi.copy() for pid in pslot},
+            dims=(P, L),
+            t_dispatch=t0,
+        )
+        if sync:
+            self.finish_pending()
+
+    # -- async-solve adoption ---------------------------------------------- #
+    def solve_pending(self) -> bool:
+        return self._pending is not None
+
+    def solve_ready(self) -> bool:
+        return self._pending is not None and self._pending.future.done()
+
+    def finish_pending(self):
+        self.adopt_pending(force=True)
+
+    def adopt_pending(self, force: bool = False) -> bool:
+        """Write back the in-flight solve if its fetch has landed (or wait for
+        it when ``force``). Write back (restoreDataFromG2o,
+        slam_graph.cpp:1035-1080) is exact when nothing moved since dispatch —
+        guaranteed inside the backend, whose graph-mutating entry points all
+        force-adopt first; poses rebased in between (defensive path) receive
+        the solve as a left-multiplied correction instead."""
+        p = self._pending
+        if p is None or (not force and not p.future.done()):
+            return False
+        self._pending = None
+        packed = p.future.result()
+        P, L = p.dims
         R_new = packed[: P * 9].reshape(P, 3, 3)
         t_new = packed[P * 9: P * 12].reshape(P, 3)
         psi_new = packed[P * 12: P * 12 + L * 3].reshape(L, 3)
-        self.stats["calc_time"] = time.perf_counter() - t0
+        self.stats["calc_time"] = time.perf_counter() - p.t_dispatch
         self.stats["chi2_init"] = float(packed[-2])
         self.stats["chi2_final"] = float(packed[-1])
 
-        # write back (restoreDataFromG2o, slam_graph.cpp:1035-1080)
-        for kf, i in slot_of.items():
-            self.vertices[kf].R = R_new[i].astype(np.float64)
-            self.vertices[kf].t = t_new[i].astype(np.float64)
-        for pid, i in pslot.items():
-            self.points[pid].psi = psi_new[i].astype(np.float64)
+        for kf, i in p.slot_of.items():
+            v = self.vertices.get(kf)
+            if v is None:
+                continue
+            R_pre, t_pre = p.pose_pre[kf]
+            if np.array_equal(v.R, R_pre) and np.array_equal(v.t, t_pre):
+                v.R = R_new[i].astype(np.float64)
+                v.t = t_new[i].astype(np.float64)
+            else:
+                # T_corr = T_solved * T_pre^-1, applied LEFT of the current
+                # pose; re-orthonormalized (composed f32-sourced rotations
+                # drift — measured in the pipelined rebase path)
+                Rc = R_new[i].astype(np.float64) @ R_pre.T
+                tc = t_new[i].astype(np.float64) - Rc @ t_pre
+                u, _, vt = np.linalg.svd(Rc @ v.R)
+                v.t = Rc @ v.t + tc
+                v.R = u @ vt
+        for pid, i in p.pslot.items():
+            pt = self.points.get(pid)
+            if pt is None:
+                continue
+            psi_pre = p.psi_pre[pid]
+            if np.array_equal(pt.psi, psi_pre):
+                pt.psi = psi_new[i].astype(np.float64)
+            else:
+                pt.psi = pt.psi + (psi_new[i].astype(np.float64) - psi_pre)
+        return True
 
     # -- queries ----------------------------------------------------------- #
     def compute_absolute_pose(self, kf_id: int) -> SE3:
         """Chain marginalized relative constraints from the double window to
         `kf_id` (slam_graph.cpp:762-782)."""
+        self.adopt_pending()  # free freshness if the async fetch landed
         if kf_id in self.double_window:
             return self.vertices[kf_id].T
         # BFS from kf_id to the window

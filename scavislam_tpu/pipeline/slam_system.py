@@ -247,6 +247,7 @@ class SlamSystem:
                     len(self.backend_monitor.keyframes) > 0
                     or getattr(self.backend, "working", False)
                     or bool(self.backend.local_registration_stack)
+                    or self.backend.graph.solve_pending()
                     or (self.place_monitor is not None
                         and (self.place_monitor.pending()
                              or getattr(self.place_recognizer, "working",
@@ -255,6 +256,9 @@ class SlamSystem:
                 if not busy:
                     break
                 time.sleep(0.005)
+        # adopt any async BA solve still in flight (the drain loops above
+        # stop as soon as no *poll* work remains, which can precede the fetch)
+        self.backend.graph.finish_pending()
         loop = self.backend_monitor.getClosedLoop()
         while loop is not None:
             self.closed_loops.append(loop)

@@ -20,6 +20,7 @@ from scavislam_tpu.models.slam_graph import GraphEdge, GraphPoint, GraphVertex, 
 
 def save_graph(graph: SlamGraph, path: str):
     """Serialize a SlamGraph to .npz (arrays) + embedded JSON (topology)."""
+    graph.finish_pending()  # adopt any in-flight async BA solve first
     kf_ids = sorted(graph.vertices)
     R = np.stack([graph.vertices[k].R for k in kf_ids]) if kf_ids else (
         np.zeros((0, 3, 3)))

@@ -217,6 +217,81 @@ class TestWindowOverflow:
         assert g.stats["chi2_final"] < g.stats["chi2_init"]
 
 
+class TestAsyncSolve:
+    def test_async_matches_sync_bitwise(self):
+        """optimize(sync=False) + adopt_pending must produce the exact poses
+        and psis of the blocking path when nothing mutates in between (the
+        backend's normal case: its mutating entry points force-adopt first)."""
+        def run(sync):
+            g, _ = build_graph(8, perturb=0.01)
+            assert g.prepare_for_optimization(7)
+            g.optimize(num_iters=3, sync=sync)
+            if not sync:
+                assert g.solve_pending()
+                assert g.finish_pending() is None  # returns None, adopts
+                assert not g.solve_pending()
+            return g
+
+        global rng
+        rng = np.random.RandomState(7)
+        ga = run(sync=True)
+        rng = np.random.RandomState(7)
+        gb = run(sync=False)
+        for k in ga.vertices:
+            np.testing.assert_array_equal(ga.vertices[k].R, gb.vertices[k].R)
+            np.testing.assert_array_equal(ga.vertices[k].t, gb.vertices[k].t)
+        for p in ga.points:
+            np.testing.assert_array_equal(ga.points[p].psi, gb.points[p].psi)
+        assert gb.stats["chi2_final"] == ga.stats["chi2_final"]
+
+    def test_mutating_methods_force_adoption(self):
+        """prepare_for_optimization must adopt the in-flight solve before
+        touching the window (asynchrony never reorders graph updates)."""
+        g, _ = build_graph(8, perturb=0.01)
+        assert g.prepare_for_optimization(7)
+        g.optimize(num_iters=2, sync=False)
+        assert g.solve_pending()
+        assert g.prepare_for_optimization(7)
+        assert not g.solve_pending()
+        assert g.stats["chi2_final"] < g.stats["chi2_init"]
+
+    def test_late_adoption_applies_delta_correction(self):
+        """A pose rebased between dispatch and adoption receives the solve as
+        a left-multiplied correction, not a stale overwrite (the defensive
+        path for out-of-band rebases)."""
+        g, _ = build_graph(8, perturb=0.01)
+        assert g.prepare_for_optimization(7)
+        # sync reference solve from identical initial state
+        pre = {k: (g.vertices[k].R.copy(), g.vertices[k].t.copy())
+               for k in g.vertices}
+        psi_pre = {p: g.points[p].psi.copy() for p in g.points}
+        g.optimize(num_iters=2, sync=True)
+        solved = {k: (g.vertices[k].R.copy(), g.vertices[k].t.copy())
+                  for k in g.vertices}
+        # restore and redo async with a mid-flight rebase of one vertex
+        for k, (R, t) in pre.items():
+            g.vertices[k].R, g.vertices[k].t = R.copy(), t.copy()
+        for p, ps in psi_pre.items():
+            g.points[p].psi = ps.copy()
+        victim = [k for k in g.double_window if k != 7][0]
+        g.optimize(num_iters=2, sync=False)
+        d = np.asarray([0.02, -0.01, 0.03])  # pure-translation rebase
+        g.vertices[victim].t = g.vertices[victim].t + d
+        g.finish_pending()
+        # untouched vertices: exact solved poses
+        for k in g.double_window:
+            if k == victim:
+                continue
+            np.testing.assert_array_equal(g.vertices[k].R, solved[k][0])
+        # victim: solved pose with the rebase preserved through the delta
+        R_pre, t_pre = pre[victim]
+        R_new, t_new = solved[victim]
+        Rc = R_new @ R_pre.T
+        expect_t = Rc @ (t_pre + d) + (t_new - Rc @ t_pre)
+        np.testing.assert_allclose(g.vertices[victim].t, expect_t, atol=1e-9)
+        np.testing.assert_allclose(g.vertices[victim].R, R_new, atol=1e-7)
+
+
 class TestQueries:
     def test_absolute_pose_outside_window(self):
         # 16 keyframes > double_window_size=12 guarantees vertices OUTSIDE

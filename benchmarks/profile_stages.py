@@ -10,8 +10,11 @@ RTT has >10 ms jitter, bigger than most stages.)
 Run on the real TPU: `python benchmarks/profile_stages.py [reps]`.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

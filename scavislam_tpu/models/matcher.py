@@ -17,8 +17,16 @@ TPU-first re-design decisions:
   warp-samples the central 8x8 from it — same first-order warp model, no
   image gather, and the per-point storage (256 floats) lives happily in HBM.
 - Subpixel refinement: the reference's is stubbed out (matcher.cpp:242-309
-  returns the integer position); we keep integer corner positions too for
-  behavioral parity, and the motion-only BA absorbs the residual.
+  returns the integer position). The fused frame path goes beyond parity
+  with one IC-LK step on the winning patch pair
+  (frontend_step._subpixel_delta) — gradients from in-patch central
+  differences on data already gathered, no extra image samples.
+
+Intentionally NOT reproduced (deviation ledger):
+- warpPatchProjective (matcher.cpp:461-525): a projective-homography patch
+  warp that is dead code in the reference — never called from any matching
+  path (only the affine warpAffinve is), left half-debugged with cerr spam.
+  The affine warp model here covers every live reference call site.
 
 All outputs are padded fixed-shape arrays with masks.
 """

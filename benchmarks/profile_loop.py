@@ -108,14 +108,15 @@ def main():
         stats["collect"].append(time.perf_counter() - t0)
         return r
 
-    def consume(cand_ids, out, fut=None, corr_R=None, corr_t=None):
+    def consume(cand_ids, out, fut=None, corr_R=None, corr_t=None,
+                epoch=None):
         t0 = time.perf_counter()
         if fut is not None:
             fut.result()
         t1 = time.perf_counter()
         stats["fetch_wait"].append(t1 - t0)
         nkf = len(fe.to_optimizer_stack)
-        r = orig_consume(cand_ids, out, fut, corr_R, corr_t)
+        r = orig_consume(cand_ids, out, fut, corr_R, corr_t, epoch)
         if len(fe.to_optimizer_stack) > nkf:
             kf_frames.append((len(kf_frames), time.perf_counter() - t1))
         stats["policy"].append(time.perf_counter() - t1)

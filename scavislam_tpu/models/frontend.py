@@ -162,10 +162,20 @@ class StereoFrontend:
         # (SlamSystem drains this every frame and pushes to the backend)
         self._ready_packets = []
         # in-flight frame queue; each entry is a mutable list
-        # [frame_id, cand_ids_np, FrontendStepOut, fut, corr_R, corr_t]
-        # where (corr_R, corr_t) right-corrects the fetched world pose for
-        # backend rebases that happened after the frame was dispatched
+        # [frame_id, cand_ids_np, FrontendStepOut, fut, corr_R, corr_t,
+        #  kf_epoch] where (corr_R, corr_t) right-corrects the fetched world
+        # pose for backend rebases that happened after the frame was
+        # dispatched, and kf_epoch stamps which keyframe generation the
+        # frame's candidate set belongs to
         self._pending = deque()
+        # keyframe generation counter: frames dispatched before a keyframe
+        # spawn carry a stale candidate set whose device stats (quadrant
+        # counts, track lengths) re-trigger the keyframe conditions the
+        # spawn just fixed — their decisions are suppressed at consume
+        # (measured on the 360-spin: 77 keyframes instead of ~19, one per
+        # in-flight frame, each force-finalizing the previous spawn at a
+        # blocking ~30 ms — the dominant config-2 cost)
+        self._kf_epoch = 0
         # how many frames stay in flight before results are consumed. Depth 2
         # gives each packed fetch TWO frame periods to complete: one link
         # round-trip (~30 ms) exceeds a 60 fps frame period, so at depth 1
@@ -401,7 +411,9 @@ class StereoFrontend:
         # in the frame loop — started here, it overlaps the in-flight frames'
         # device execution and is already resolved when consumed
         fut = self._fetch_pool.submit(np.asarray, out.packed)
-        self._pending.append([self.frame_id, cand_ids, out, fut, None, None])
+        self._pending.append(
+            [self.frame_id, cand_ids, out, fut, None, None, self._kf_epoch]
+        )
         self._roll(out)
         if len(self._pending) <= max(1, self.pipeline_depth):
             return None
@@ -436,7 +448,7 @@ class StereoFrontend:
         return results
 
     def _consume(self, cand_ids, out: FrontendStepOut, fut=None,
-                 corr_R=None, corr_t=None):
+                 corr_R=None, corr_t=None, epoch=None):
         C = CAND_CAP
         # a keyframe decided at an earlier consume finalizes once its spawn
         # payload fetch has landed (the spawn program runs behind the
@@ -464,9 +476,23 @@ class StereoFrontend:
         gate = pk[34:34 + C] > 0.5
         obs_all = pk[34 + 2 * C: 34 + 5 * C].reshape(C, 3)
 
-        if int(n_matched) < MIN_TRACK_OBS or int(n_gated) < MIN_TRACK_OBS:
-            return False, False
-        if not np.isfinite(t_cw).all():
+        bad = (int(n_matched) < MIN_TRACK_OBS
+               or int(n_gated) < MIN_TRACK_OBS
+               or not np.isfinite(t_cw).all())
+        if bad:
+            if epoch is not None and epoch != self._kf_epoch:
+                # transient, not a loss: this frame was dispatched BEFORE the
+                # latest keyframe spawn, so its candidate set is up to
+                # (keyframe cadence + pipeline depth) frames stale — under
+                # fast rotation the last pre-spawn frames can decay below the
+                # match floor while the first post-spawn frame recovers
+                # fully (measured on the 360-spin: 299->60 matches across
+                # one epoch, 117 on the next frame). Skip the frame: keep
+                # the previous host pose, no keyframe decision; the device
+                # chain re-converges on its own (frame-to-frame IC tracking
+                # is independent of this consume). A genuine loss also fails
+                # CURRENT-epoch frames within `pipeline_depth` frames.
+                return True, spawn_landed
             return False, False
         self._R_cw, self._t_cw = R_cw, t_cw
         # derive the chain from the WORLD pose + the CURRENT actkey: if a
@@ -485,7 +511,11 @@ class StereoFrontend:
         switched = self._maybe_switch_keyframe(
             float(np.linalg.norm(self._t_cak))
         )
-        if not switched and self._shall_drop_keyframe(
+        # frames dispatched before the latest keyframe spawn carry stale
+        # candidate-set stats — suppress their keyframe decisions (the
+        # synchronous reference never decides on pre-spawn information)
+        epoch_ok = epoch is None or epoch == self._kf_epoch
+        if not switched and epoch_ok and self._shall_drop_keyframe(
             quad_counts, float(np.linalg.norm(self._t_cak)),
             float(mean_track_len),
         ):
@@ -669,6 +699,7 @@ class StereoFrontend:
             rec, pkt_args = self._pending_spawn
             self._pending_spawn = None
             self._finalize_keyframe(rec, pkt_args)
+        self._kf_epoch += 1
         kf_id = self._new_keyframe_id()
         T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
         # packets/snapshots carry the NUMPY pose pair: a device-backed SE3 in

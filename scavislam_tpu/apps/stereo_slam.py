@@ -76,6 +76,13 @@ def main(argv=None):
     ap.add_argument("--keyframe-view",
                     help="PNG of the last keyframe's image + anchored "
                          "points (the GUI's ui.show_keyframe view)")
+    ap.add_argument("--watch", metavar="DIR",
+                    help="live observability: refresh map/debug/timing PNGs "
+                         "+ status.json in DIR and re-read DIR/tunables.cfg "
+                         "while running (the headless analogue of the "
+                         "reference's Pangolin GUI + Vars)")
+    ap.add_argument("--watch-period", type=float, default=1.0,
+                    help="watch refresh period in seconds (also live-tunable)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
@@ -141,6 +148,14 @@ def main(argv=None):
 
         os.makedirs(args.debug_out, exist_ok=True)
 
+    watcher = None
+    if args.watch:
+        from scavislam_tpu.apps.watch import Watcher
+
+        watcher = Watcher(args.watch, system, period=args.watch_period,
+                          num_disp=16 * cfg.ui.num_disp16,
+                          debug_mode=max(args.debug_mode, 0))
+
     n = 0
     for frame in frames:
         if args.max_frames and n >= args.max_frames:
@@ -153,6 +168,11 @@ def main(argv=None):
             ok = system.process_frame(frame)
             if not ok:
                 print("FAILURE! tracking lost at frame", n, file=sys.stderr)
+                break
+        if watcher is not None:
+            watcher.tick(n, gt_poses)
+            if watcher.quit:
+                print("watch: quit requested", file=sys.stderr)
                 break
         if args.debug_mode >= 0 and n % max(args.debug_every, 1) == 0:
             from scavislam_tpu.apps.visualize import render_debug_image

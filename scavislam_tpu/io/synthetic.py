@@ -136,6 +136,80 @@ def _texture(u, v, phase):
     return 0.08 + 0.84 * val
 
 
+class Degradation(NamedTuple):
+    """Sensor/scene degradation model for robustness evaluation (the
+    reference validates on real New College imagery, README:181-197; this
+    model injects the real-world effects that imagery has and analytic
+    renders lack). All effects are applied INSIDE the jitted render:
+
+    - ``noise_std``: additive per-pixel Gaussian (independent per eye and
+      per frame), in [0,1] intensity units (0.04 ~ 10/255).
+    - ``exposure_amp`` / ``exposure_period``: global multiplicative gain
+      drift 1 + amp*sin(2*pi*i/period) — violates the photometric-constancy
+      assumption of dense tracking between frames.
+    - ``vignette``: radial intensity falloff (static per eye) — violates
+      photometric constancy under ROTATION (pixels traverse the profile).
+    - ``occluder_frac``: a textured square of this fraction of image width
+      sweeping across the view at ``occluder_depth`` meters — an
+      independently moving object; its pixels violate the static-scene
+      assumption and must be rejected by the robust losses. Ground-truth
+      disparity/depth are updated consistently (both eyes see the occluder
+      at its own disparity); ground-truth POSE is not.
+    """
+
+    noise_std: float = 0.0
+    exposure_amp: float = 0.0
+    exposure_period: float = 40.0
+    vignette: float = 0.0
+    occluder_frac: float = 0.0
+    occluder_depth: float = 1.2
+    seed: int = 0
+
+
+def _apply_occluder(left, right, disp, depth, i, n_frames, deg: Degradation,
+                    cam: StereoCamera):
+    w, h = cam.size
+    side = deg.occluder_frac * w
+    # sweep across the view over the sequence
+    prog = jnp.float32(i) / max(n_frames - 1, 1)
+    cx = (0.15 + 0.7 * prog) * w
+    cy = 0.55 * h
+    d_occ = cam.focal * cam.baseline / deg.occluder_depth
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    box_l = (jnp.abs(u - cx) < side / 2) & (jnp.abs(v - cy) < side / 2)
+    box_r = (jnp.abs(u - (cx - d_occ)) < side / 2) & (
+        jnp.abs(v - cy) < side / 2)
+    # the object carries its own texture and moves relative to the scene
+    tex_l = _texture(u * 0.12 + prog * 7.0, v * 0.12, jnp.float32(55.0))
+    tex_r = _texture((u + d_occ) * 0.12 + prog * 7.0, v * 0.12,
+                     jnp.float32(55.0))
+    left = jnp.where(box_l, jnp.broadcast_to(tex_l, left.shape), left)
+    right = jnp.where(box_r, jnp.broadcast_to(tex_r, right.shape), right)
+    disp = jnp.where(box_l, d_occ, disp)
+    depth = jnp.where(box_l, deg.occluder_depth, depth)
+    return left, right, disp, depth
+
+
+def _degrade_view(img, i, eye, deg: Degradation, cam: StereoCamera):
+    w, h = cam.size
+    if deg.vignette > 0.0:
+        u = (jnp.arange(w, dtype=jnp.float32) - cam.pp[0]) / (w / 2)
+        v = (jnp.arange(h, dtype=jnp.float32) - cam.pp[1]) / (h / 2)
+        r2 = u[None, :] ** 2 + v[:, None] ** 2
+        img = img * (1.0 - 0.5 * deg.vignette * r2)
+    if deg.exposure_amp > 0.0:
+        gain = 1.0 + deg.exposure_amp * jnp.sin(
+            2.0 * jnp.pi * jnp.float32(i) / deg.exposure_period)
+        img = img * gain
+    if deg.noise_std > 0.0:
+        key = jax.random.fold_in(jax.random.PRNGKey(deg.seed),
+                                 jnp.int32(i) * 2 + eye)
+        img = img + deg.noise_std * jax.random.normal(key, img.shape,
+                                                      jnp.float32)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def _render_view(planes, T_cw: SE3, cam: StereoCamera, eye_offset: float):
     """Render one view; eye_offset is 0 (left) or baseline (right eye sits at
     +baseline along the camera x-axis)."""
@@ -246,20 +320,33 @@ class SyntheticSequence:
     """
 
     def __init__(self, cam: StereoCamera, n_frames=30, kind="forward_arc",
-                 planes=None, step=0.02):
+                 planes=None, step=0.02, degrade: Degradation = None):
         self.cam = cam
         self.planes = planes if planes is not None else default_room()
         self.poses = make_trajectory(n_frames, kind, step)
-        self._render = jax.jit(
-            lambda R, t: render_stereo_frame(self.planes, SE3(R, t), cam)
-        )
+        self.degrade = degrade
+        n_total = n_frames
+
+        def render(R, t, i):
+            left, right, disp, depth = render_stereo_frame(
+                self.planes, SE3(R, t), cam)
+            d = self.degrade
+            if d is not None:
+                if d.occluder_frac > 0.0:
+                    left, right, disp, depth = _apply_occluder(
+                        left, right, disp, depth, i, n_total, d, cam)
+                left = _degrade_view(left, i, 0, d, cam)
+                right = _degrade_view(right, i, 1, d, cam)
+            return left, right, disp, depth
+
+        self._render = jax.jit(render)
 
     def __len__(self):
         return len(self.poses)
 
     def frame(self, i):
         T = self.poses[i]
-        left, right, disp, depth = self._render(T.R, T.t)
+        left, right, disp, depth = self._render(T.R, T.t, jnp.int32(i))
         return {
             "frame_id": i,
             "left": left,

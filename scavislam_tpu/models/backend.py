@@ -417,8 +417,15 @@ class Backend:
             obs_dev = jnp.zeros((CAND_CAP, 3), jnp.float32)
             matched_dev = jnp.zeros(CAND_CAP, bool)
             for lvl in range(self.levels):
+                # detection on the smoothed level — MUST mirror the frame
+                # step's prefilter (frontend_step.py) so the re-detected
+                # corners equal the frontend's (deterministic re-detection
+                # replaces the reference's stored per-cell thresholds,
+                # fast_grid.cpp:60-83)
+                from scavislam_tpu.ops.image import binomial3
+
                 buckets = corner_buckets(
-                    pyr[lvl],
+                    binomial3(pyr[lvl]),
                     threshold=10.0 / 255.0,
                     cells_y=max(self.cams[lvl].height // 8, 4),
                     cells_x=max(self.cams[lvl].width // 8, 4),

@@ -294,6 +294,7 @@ def frontend_step(
     zmssd_thr: float = 0.18,
     stereo_method: int = 2,  # 1/2 BM, 3 BP, 4 CSBP (stereo_frontend.cpp:535)
     stereo_opts: tuple = (4, 4, 4),  # (iters, levels, nr_plane) for BP/CSBP
+    prefilter: bool = True,  # 3x3 binomial sensor-noise prefilter
 ) -> FrontendStepOut:
     # -- 1. unpack + preprocess (uint8 frames normalized on device)
     if frames_stacked.dtype == jnp.uint8:
@@ -303,6 +304,20 @@ def frontend_step(
     img = frames_f[0]
     right = frames_f[1]
     external_disp = frames_f[2] if use_external_disp else frames_f[0]
+    # sensor-noise prefilter, SURGICAL: only the stereo-matching inputs and
+    # the corner-detection inputs are smoothed (the reference inherits
+    # OpenCV StereoBM's prefilter; without one, 10%-of-full-scale noise
+    # collapses BM validity to 15% and floods the FAST cells — measured,
+    # benchmarks/robustness.py). Dense tracking and ZMSSD patches keep the
+    # RAW pyramid: smoothing them costs clean-sequence subpixel accuracy
+    # (ATE 0.0064 -> 0.0080 measured) for no robustness gain — their own
+    # robust losses (residual clamp, zero-mean normalization) carry noise.
+    if prefilter:
+        from scavislam_tpu.ops.image import binomial3
+
+        img_s, right_s = binomial3(img), binomial3(right)
+    else:
+        img_s, right_s = img, right
     pyr = build_pyramid(img, levels)
     dxs, dys = [], []
     for p in pyr:
@@ -320,14 +335,14 @@ def frontend_step(
         from scavislam_tpu.ops.stereo_bp import belief_propagation_disparity
 
         disp = belief_propagation_disparity(
-            img, right, num_disp=num_disp,
+            img_s, right_s, num_disp=num_disp,
             iters=max(5, stereo_opts[0]), levels=max(4, stereo_opts[1]),
         )
     elif stereo_method == 4:
         from scavislam_tpu.ops.stereo_bp import constant_space_bp_disparity
 
         disp = constant_space_bp_disparity(
-            img, right, num_disp=num_disp, iters=stereo_opts[0],
+            img_s, right_s, num_disp=num_disp, iters=stereo_opts[0],
             levels=stereo_opts[1], nr_plane=stereo_opts[2],
         )
     elif stereo_method != 1 and _USE_PALLAS_BM and img.shape[0] % 32 == 0:
@@ -336,11 +351,11 @@ def frontend_step(
         )
 
         disp = block_matching_disparity_pallas(
-            img, right, num_disp=num_disp, radius=5
+            img_s, right_s, num_disp=num_disp, radius=5
         )
     else:
         # method 1 (the reference's CPU StereoBM) maps to the XLA twin
-        disp = block_matching_disparity(img, right, num_disp=num_disp,
+        disp = block_matching_disparity(img_s, right_s, num_disp=num_disp,
                                         radius=5)
 
     # actkey pose from the device table (keyframe-policy statistics only)
@@ -416,8 +431,13 @@ def frontend_step(
         # its per-corner patch table dominated the match stage (7 ms/frame)
         cells_y = max(h_l // 16, 4)
         cells_x = max(w_l // 16, 4)
+        # corner detection on the smoothed level (noise-corner flood guard);
+        # bucket patches for ZMSSD stay on the raw level
+        from scavislam_tpu.ops.image import binomial3 as _b3
+
         uvb, scoreb, validb = detect_corners_grid(
-            pyr[l], 10.0 / 255.0, cells_y, cells_x, 4
+            _b3(pyr[l]) if prefilter else pyr[l],
+            10.0 / 255.0, cells_y, cells_x, 4
         )
         buckets_uv = uvb.reshape(cells_y, cells_x, 4, 2)
         buckets_valid = validb.reshape(cells_y, cells_x, 4)
@@ -615,11 +635,15 @@ def spawn_points_step(
     """
     payloads = []
     offs = jnp.asarray(_patch_offsets_int(SOURCE_PATCH))
+    from scavislam_tpu.ops.image import binomial3 as _b3
+
     for l in range(levels):
         cap = caps[l]
         focal, ppx, ppy, baseline = cam_params[l]
+        # detection on the smoothed level (same noise-corner guard as the
+        # frame step); source patches below stay RAW for ZMSSD sharpness
         uv, score, valid = detect_corners_grid(
-            pyr[l], 10.0 / 255.0, 3, 3, -(-cap // 9)
+            _b3(pyr[l]), 10.0 / 255.0, 3, 3, -(-cap // 9)
         )
         s = jnp.float32(2**l)
         uv0 = (uv + 0.5) * s - 0.5

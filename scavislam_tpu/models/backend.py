@@ -35,6 +35,27 @@ from scavislam_tpu.ops.fast import corner_buckets
 from scavislam_tpu.pipeline.monitors import BackendMonitor, PlaceRecognizerMonitor
 from scavislam_tpu.utils.config import Config
 
+
+def _resolve_solve_device(index: int):
+    """graph.solve_device index -> jax.Device (None = default device).
+
+    Out-of-range indices fall back to the default device with a warning
+    rather than failing the run: configs are shared across hosts with
+    different chip counts."""
+    if index is None or index < 0:
+        return None
+    import jax
+
+    devs = jax.devices()
+    if index >= len(devs):
+        import sys
+
+        print(f"backend: graph.solve_device={index} but only {len(devs)} "
+              "device(s) present; solving on the default device",
+              file=sys.stderr)
+        return None
+    return devs[index]
+
 NB_MAX_NEIGHBORS = 10  # backend.cpp:244-386 caps the neighborhood at 10
 REG_EXTRA_FRAMES = 40  # framesInNeighborhood(+40), backend.cpp:190-199
 MIN_LOOP_MATCHES = 25
@@ -65,6 +86,7 @@ class Backend:
             double_window_size=(
                 self.cfg.graph.inner_window + self.cfg.graph.outer_window
             ),
+            solve_device=_resolve_solve_device(self.cfg.graph.solve_device),
         )
         self.monitor = monitor or BackendMonitor()
         self.place_monitor = place_monitor

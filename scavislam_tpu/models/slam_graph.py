@@ -187,8 +187,15 @@ class SlamGraph:
         inner_window_size: int = 15,
         double_window_size: int = 115,
         ba_capacity=(128, 2048, 8192, 512),
+        solve_device=None,
     ):
         self.cam = cam
+        # jax.Device (or None = default): where the DWO solve runs. On a
+        # multi-chip host, placing it on a sibling chip keeps backend
+        # optimization off the tracking chip entirely (the device-level
+        # analogue of the reference's dedicated backend thread); the packed
+        # one-transfer problem upload/fetch makes placement free.
+        self.solve_device = solve_device
         self.covis_thr = covis_thr
         self.inner_window_size = inner_window_size
         self.double_window_size = double_window_size
@@ -657,8 +664,10 @@ class SlamGraph:
                       self.cam.baseline)
 
         t0 = time.perf_counter()
+        buf_dev = (jax.device_put(buf, self.solve_device)
+                   if self.solve_device is not None else jnp.asarray(buf))
         R_new, t_new, psi_new, stats = _solve_packed(
-            cam_params, jnp.asarray(buf), (P, L, O, E), num_iters, huber,
+            cam_params, buf_dev, (P, L, O, E), num_iters, huber,
         )
         # ONE packed fetch for everything (each fetch is a link round-trip),
         # pulled by a worker thread so dispatch never blocks on the link

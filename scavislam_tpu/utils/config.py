@@ -66,6 +66,13 @@ class FrontendConfig:
 class GraphConfig:
     inner_window: int = 15
     outer_window: int = 100
+    # Device index for the DWO solve, -1 = the default (tracking) device.
+    # On a multi-chip host the solve can run on a sibling chip so backend
+    # optimization never timeshares the tracking chip — the device-level
+    # analogue of the reference running its optimizer in a separate backend
+    # thread on its own CPU core (backend.cpp thread loop). No reference
+    # .cfg key (single-GPU era); accepted as `graph.solve_device`.
+    solve_device: int = -1
 
 
 @dataclass(frozen=True)

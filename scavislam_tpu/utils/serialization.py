@@ -270,7 +270,9 @@ def load_system(path: str, cam, cfg=None, **system_kw):
     buf = _io.BytesIO()
     np.savez(buf, **{k[2:]: z[k] for k in z.files if k.startswith("g_")})
     buf.seek(0)
+    solve_device = system.backend.graph.solve_device  # cfg-resolved
     system.backend.graph = load_graph(buf, cam)
+    system.backend.graph.solve_device = solve_device
     system.backend.prev_kf_id = max(
         system.backend.graph.vertices, default=None)
 

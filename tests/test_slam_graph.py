@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
@@ -335,3 +334,53 @@ class TestLoopClosure:
             np.asarray((g.vertices[7].T @ gt_pose(7).inverse()).t)
         )
         assert err7 < 0.15, err7
+
+
+class TestSolveDevicePlacement:
+    def test_sibling_device_solve_matches_default(self):
+        """graph.solve_device: the DWO solve placed on another chip of the
+        mesh must be bit-identical to the default-device solve (the packed
+        problem upload and packed result fetch are the only crossings, so
+        placement changes nothing but WHERE the program runs)."""
+        import jax
+
+        devs = jax.devices()
+        assert len(devs) >= 8, "conftest provides 8 virtual devices"
+
+        def run(device):
+            g, _ = build_graph(8, perturb=0.01)
+            g.solve_device = device
+            assert g.prepare_for_optimization(7)
+            g.optimize(num_iters=3, sync=False)
+            assert g.finish_pending() is None
+            return g
+
+        global rng
+        rng = np.random.RandomState(11)
+        ga = run(None)
+        rng = np.random.RandomState(11)
+        gb = run(devs[3])
+        for k in ga.vertices:
+            np.testing.assert_array_equal(ga.vertices[k].R, gb.vertices[k].R)
+            np.testing.assert_array_equal(ga.vertices[k].t, gb.vertices[k].t)
+        for p in ga.points:
+            np.testing.assert_array_equal(ga.points[p].psi, gb.points[p].psi)
+        assert gb.stats["chi2_final"] == ga.stats["chi2_final"]
+
+    def test_backend_resolves_index(self):
+        import dataclasses
+
+        import jax
+
+        from scavislam_tpu.models.backend import Backend
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, graph=dataclasses.replace(cfg.graph, solve_device=2))
+        be = Backend(CAM, cfg)
+        assert be.graph.solve_device == jax.devices()[2]
+        # out-of-range index falls back to default with a warning, not a crash
+        cfg_bad = dataclasses.replace(
+            cfg, graph=dataclasses.replace(cfg.graph, solve_device=99))
+        assert Backend(CAM, cfg_bad).graph.solve_device is None

@@ -67,17 +67,30 @@ import jax
 
 
 @jax.jit
-def _rectify_stack(stacked_f32, map_l, map_r):
+def _rectify_stack(stacked, map_l, map_r):
     """Remap the left/right planes of a stacked frame; any further planes
     (external disparity) pass through untouched — the reference rectifies
-    only the images (frame_grabber.cpp:245-256)."""
+    only the images (frame_grabber.cpp:245-256).
+
+    dtype-PRESERVING on purpose: a uint8 frame stack comes back uint8
+    (bilinear in f32, then round back — exactly cv::remap on 8u, which is
+    what the reference runs). Preserving the dtype keeps the downstream
+    fused frontend_step a SINGLE compiled program whether or not
+    rectification is enabled; an f32 output here silently forked a second
+    whole-program family (one full XLA compile per variant, measured 23 s
+    on the CI machine and a duplicate program over the TPU tunnel)."""
+    is_u8 = stacked.dtype == jnp.uint8
+    f = stacked.astype(jnp.float32) / 255.0 if is_u8 else stacked
     planes = [
-        remap(stacked_f32[0], map_l)[None],
-        remap(stacked_f32[1], map_r)[None],
+        remap(f[0], map_l)[None],
+        remap(f[1], map_r)[None],
     ]
-    if stacked_f32.shape[0] > 2:
-        planes.append(stacked_f32[2:])
-    return jnp.concatenate(planes, axis=0)
+    if f.shape[0] > 2:
+        planes.append(f[2:])
+    out = jnp.concatenate(planes, axis=0)
+    if is_u8:
+        out = jnp.clip(out * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return out
 
 
 class Rectifier:
@@ -104,6 +117,4 @@ class Rectifier:
     def rectify_stacked(self, stacked):
         if not self.enabled:
             return stacked
-        if stacked.dtype == jnp.uint8:
-            stacked = stacked.astype(jnp.float32) / 255.0
         return _rectify_stack(stacked, self.map_left, self.map_right)

@@ -264,8 +264,8 @@ def block_matching_disparity_pallas(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((rows, w), lambda i: (i, 0),

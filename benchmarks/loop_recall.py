@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.io.synthetic import (SyntheticSequence, closed_box,

@@ -63,7 +63,7 @@ class TestRectify:
     def test_distortion_roundtrip(self):
         """Remapping an image through distort-then-undistort maps recovers it
         approximately in the interior."""
-        from scavislam_tpu.ops.rectify import build_rectify_map, remap
+        from scavislam_tpu.ops.rectify import build_rectify_map
 
         # a map with mild radial distortion
         m = build_rectify_map(CAM, (0.05, 0.0, 0, 0, 0), (0, 0, 0))
@@ -80,6 +80,7 @@ class TestRectify:
         shift = m[96, 128, 0] - 128
         assert abs(abs(shift) - 195.0 * 0.02) < 1.0
 
+    @pytest.mark.slow
     def test_pipeline_wiring_identity(self):
         """rectify_frame=True with zero distortion must track the same
         trajectory as the plain path (the reference applies rectification
@@ -228,6 +229,69 @@ class TestVisualize:
         assert len(system.per_mon.history) >= 1
 
 
+class TestWatch:
+    def test_watch_artifacts_and_live_retune(self, tmp_path):
+        """--watch: the Pangolin-Var analogue (stereo_slam.cpp:234-257).
+
+        Covers: template written on startup, atomic artifact refresh
+        (map.png / debug.png / timing.png / status.json), live retuning of
+        keyframe thresholds through tunables.cfg WITHOUT restart, and the
+        pause+quit protocol (pause=1 with quit=1 must not block)."""
+        import json
+
+        from scavislam_tpu.apps.watch import Watcher
+        from scavislam_tpu.core.camera import StereoCamera
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+        from scavislam_tpu.pipeline.slam_system import SlamSystem
+        from scavislam_tpu.utils.config import Config
+
+        cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+        seq = SyntheticSequence(cam, n_frames=4, step=0.02)
+        system = SlamSystem(cam, Config(), threaded=False,
+                            enable_loop_closure=False)
+        wdir = str(tmp_path / "watch")
+        watcher = Watcher(wdir, system, period=0.0)  # refresh every tick
+
+        tun = os.path.join(wdir, "tunables.cfg")
+        assert os.path.exists(tun), "template must be written on startup"
+        template = open(tun).read()
+        for key in ("parallax_thr", "pixel_thr", "pause", "quit"):
+            assert key in template
+
+        system.process_first_frame(seq.frame(0))
+        watcher.tick(0)
+        for name in ("map.png", "timing.png", "status.json"):
+            assert os.path.exists(os.path.join(wdir, name)), name
+        assert not os.path.exists(os.path.join(wdir, "status.json.tmp"))
+
+        # live retune: edits apply to the RUNNING system at the next tick
+        with open(tun, "w") as f:
+            f.write("# retuned mid-run\nparallax_thr = 0.011\n"
+                    "pixel_thr = 33\nfeatureless_thr = 3\ndebug_mode = 2\n")
+        assert system.process_frame(seq.frame(1))
+        watcher.tick(1)
+        assert system.cfg.ui.parallax_thr == pytest.approx(0.011)
+        assert system.frontend.cfg.ui.parallax_thr == pytest.approx(0.011)
+        fe = system.cfg.frontend
+        assert fe.new_keyframe_pixel_thr == pytest.approx(33.0)
+        assert fe.new_keyframe_featureless_corners_thr == 3
+        assert watcher.debug_mode == 2
+        assert os.path.exists(os.path.join(wdir, "debug.png"))
+
+        with open(os.path.join(wdir, "status.json")) as f:
+            status = json.load(f)
+        assert status["frame"] == 1
+        assert status["keyframes"] >= 1
+        assert status["parallax_thr"] == pytest.approx(0.011)
+
+        # pause=1 + quit=1 together: applies both, returns without blocking
+        with open(tun, "w") as f:
+            f.write("pause = 1\nquit = 1\n")
+        assert system.process_frame(seq.frame(2))
+        watcher.tick(2)
+        assert watcher.quit
+
+
 class TestDictionaryBuilder:
     def test_end_to_end(self, tmp_path):
         from scavislam_tpu.apps import create_dictionary as cd
@@ -269,7 +333,17 @@ class TestStereoSlamCli:
     def test_synthetic_run_with_exports(self, tmp_path):
         from scavislam_tpu.apps import stereo_slam
 
+        # reference-format .cfg selecting the camera the other tests in
+        # this process already compiled programs for (Config() defaults
+        # would run 512x384 — a one-off ~40 s compile+run on the 1-core CI
+        # machine for plumbing this test doesn't check; resolution-bearing
+        # paths are benched on TPU)
+        cfg = tmp_path / "test.cfg"
+        cfg.write_text(
+            "cam.width = 256;\ncam.height = 192;\ncam.f = 195.0;\n"
+            "cam.px = 127.0;\ncam.py = 95.0;\ncam.baseline = 0.12;\n")
         out = stereo_slam.main([
+            str(cfg),
             "--synthetic", "6", "--no-loop-closure",
             "--out", str(tmp_path / "traj.txt"),
             "--save-map", str(tmp_path / "map.npz"),

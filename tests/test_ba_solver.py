@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
@@ -102,7 +101,8 @@ class TestInnerWindowBA:
 
     def test_fixed_poses_unchanged(self):
         prob, gt, psi_gt, n_poses, n_points = build_gt_problem()
-        R, t, psi, stats = solve_ba(CAM_PARAMS, prob, iters=3)
+        # iters=2 shares the compiled solver with the other tests
+        R, t, psi, stats = solve_ba(CAM_PARAMS, prob, iters=2)
         for i in range(2):
             np.testing.assert_allclose(np.asarray(R[i]), np.asarray(gt[i].R),
                                        atol=1e-7)
@@ -192,7 +192,7 @@ class TestPoseGraph:
             edge_info=prob.edge_info.at[:ne].set(jnp.stack(einfo)),
             edge_valid=prob.edge_valid.at[:ne].set(True),
         )
-        R, t, psi, stats = solve_ba(CAM_PARAMS, prob, iters=8, lambda0=1.0)
+        R, t, psi, stats = solve_ba(CAM_PARAMS, prob, iters=6, lambda0=1.0)
         assert float(stats.chi2_final) < float(stats.chi2_initial) * 1e-3
         for i in range(n):
             err = (SE3(R[i], t[i]) @ gt[i].inverse()).log()

@@ -1,17 +1,14 @@
 """Frontend + backend integration over a synthetic sequence, plus monitor
 channel semantics."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from scavislam_tpu.core.camera import StereoCamera
-from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.io.synthetic import SyntheticSequence
 from scavislam_tpu.models.backend import Backend
 from scavislam_tpu.models.frontend import StereoFrontend
 from scavislam_tpu.pipeline.monitors import (
-    BackendMonitor,
     FifoChannel,
     LatestValueCell,
     PlaceRecognizerMonitor,
@@ -99,6 +96,7 @@ def system():
     return run_system()
 
 
+@pytest.mark.slow
 class TestIntegration:
     def test_trajectory_ate(self, system):
         fe, be, est, gt = system

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from scavislam_tpu.core.lie import SE3, SO3, ad_se3, hat, lie_bracket_se3, vee
 

@@ -9,10 +9,8 @@ call runs).
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from scavislam_tpu.core.camera import StereoCamera
-from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.io.synthetic import SyntheticSequence
 from scavislam_tpu.models.frontend import StereoFrontend
 from scavislam_tpu.utils.config import Config

@@ -6,7 +6,6 @@ config 3 (RGB-D dump replay: external disparity + DWO) on synthetic data.
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -28,6 +27,7 @@ def small_cfg():
     )
 
 
+@pytest.mark.slow
 class TestLoopClosureSystem:
     @pytest.fixture(scope="class")
     def run(self):
@@ -91,6 +91,7 @@ class TestLoopClosureSystem:
         assert ate < 0.1, f"ATE {ate:.4f} m"
 
 
+@pytest.mark.slow
 class TestRgbdReplay:
     def test_dump_and_replay(self, tmp_path):
         """Config 3 shape: record a sequence with disparity, replay through

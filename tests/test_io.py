@@ -185,3 +185,72 @@ class TestNativePng:
             Image.fromarray(arr).save(p)
             np.testing.assert_array_equal(
                 load_image(p), np.asarray(Image.open(p)), err_msg=name)
+
+
+class TestDegradation:
+    """io/synthetic.Degradation — the sensor/scene model behind
+    benchmarks/robustness.py (real New College imagery has these effects;
+    the analytic renders are otherwise photometrically exact)."""
+
+    def _cam(self):
+        from scavislam_tpu.core.camera import StereoCamera
+
+        return StereoCamera.create(60.0, (31.5, 23.5), (64, 48), 0.12)
+
+    def test_deterministic_per_frame(self):
+        from scavislam_tpu.io.synthetic import Degradation, SyntheticSequence
+
+        deg = Degradation(noise_std=0.03, exposure_amp=0.1, vignette=0.3,
+                          occluder_frac=0.25)
+        seq = SyntheticSequence(self._cam(), n_frames=6, degrade=deg)
+        a = seq.frame(2)
+        b = seq.frame(2)
+        np.testing.assert_array_equal(np.asarray(a["left"]),
+                                      np.asarray(b["left"]))
+        # noise is independent across frames and eyes
+        c = seq.frame(3)
+        assert np.abs(np.asarray(a["left"]) - np.asarray(c["left"])).max() > 0
+        assert np.abs(np.asarray(a["left"]) - np.asarray(a["right"])).max() > 0
+
+    def test_noise_std_calibrated(self):
+        from scavislam_tpu.io.synthetic import Degradation, SyntheticSequence
+
+        cam = self._cam()
+        clean = SyntheticSequence(cam, n_frames=4).frame(1)
+        noisy = SyntheticSequence(
+            cam, n_frames=4, degrade=Degradation(noise_std=0.05)).frame(1)
+        d = np.asarray(noisy["left"]) - np.asarray(clean["left"])
+        # measure away from the [0,1] clip
+        interior = (np.asarray(clean["left"]) > 0.15) & (
+            np.asarray(clean["left"]) < 0.85)
+        assert interior.sum() > 200
+        assert 0.035 < d[interior].std() < 0.065
+
+    def test_exposure_gain_is_exact(self):
+        from scavislam_tpu.io.synthetic import Degradation, SyntheticSequence
+
+        cam = self._cam()
+        deg = Degradation(exposure_amp=0.2, exposure_period=40.0)
+        i = 10  # sin peak: gain = 1 + amp
+        clean = SyntheticSequence(cam, n_frames=12).frame(i)
+        exposed = SyntheticSequence(cam, n_frames=12, degrade=deg).frame(i)
+        cl = np.asarray(clean["left"])
+        ex = np.asarray(exposed["left"])
+        interior = (cl > 0.1) & (cl * 1.2 < 0.999)
+        np.testing.assert_allclose(ex[interior] / cl[interior], 1.2,
+                                   atol=1e-3)
+
+    def test_occluder_consistent_geometry(self):
+        from scavislam_tpu.io.synthetic import Degradation, SyntheticSequence
+
+        cam = self._cam()
+        deg = Degradation(occluder_frac=0.25, occluder_depth=1.2)
+        f = SyntheticSequence(cam, n_frames=8, degrade=deg).frame(4)
+        disp = np.asarray(f["disp_gt"])
+        depth = np.asarray(f["depth_gt"])
+        d_occ = cam.focal * cam.baseline / 1.2
+        box = np.isclose(disp, d_occ, atol=1e-4)
+        side = 0.25 * 64
+        # the occluder occupies ~side^2 pixels and carries its own depth
+        assert 0.5 * side * side < box.sum() < 2.0 * side * side
+        np.testing.assert_allclose(depth[box], 1.2, atol=1e-5)

@@ -67,3 +67,30 @@ class TestBilinear:
         img = jnp.arange(16.0, dtype=jnp.float32).reshape(4, 4)
         val, ok = nearest_sample(img, jnp.array([1.4, 2.6]))
         np.testing.assert_allclose(val, img[3, 1])
+
+
+class TestBinomial3:
+    def test_interior_matches_explicit_convolution(self):
+        from scavislam_tpu.ops.image import binomial3
+
+        rng = np.random.RandomState(3)
+        img = rng.rand(32, 40).astype(np.float32)
+        out = np.asarray(binomial3(jnp.asarray(img)))
+        k = np.array([0.25, 0.5, 0.25], np.float32)
+        ref = np.zeros_like(img)
+        for dy, wy in zip((-1, 0, 1), k):
+            for dx, wx in zip((-1, 0, 1), k):
+                ref += wy * wx * np.roll(np.roll(img, dy, 0), dx, 1)
+        # the rolled-add formulation wraps at the border (documented: every
+        # consumer excludes a wider margin), so the comparison includes it
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_preserves_mean_and_reduces_noise(self):
+        from scavislam_tpu.ops.image import binomial3
+
+        rng = np.random.RandomState(0)
+        img = 0.5 + 0.1 * rng.randn(64, 64).astype(np.float32)
+        out = np.asarray(binomial3(jnp.asarray(img)))
+        np.testing.assert_allclose(out.mean(), img.mean(), atol=1e-6)
+        # iid-noise variance shrinks by sum(k^2)^2 = 0.375^2 ~ 0.14
+        assert out.std() < 0.5 * img.std()

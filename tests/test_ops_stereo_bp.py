@@ -30,12 +30,21 @@ def make_pair(H=96, W=128, seed=0):
     return left, right, d_gt, interior
 
 
+# one (num_disp, iters, levels) point per method: every distinct static
+# tuple is its own ~10 s XLA compile on the 1-core CI machine, so all
+# assertions per method share one program. GT disparities are 5 and 12, so
+# num_disp=16 keeps 25% headroom.
+_BP_ARGS = dict(num_disp=16, iters=5, levels=4)
+# CSBP needs num_disp/2^(levels-1) >= nr_plane or the coarsest level's
+# top-K candidate set degenerates (16/8=2 < 4 -> fails to recover the GT)
+_CSBP_ARGS = dict(num_disp=32, iters=4, levels=4, nr_plane=4)
+
+
 class TestBeliefPropagation:
     def test_recovers_piecewise_disparity(self):
         left, right, d_gt, interior = make_pair()
         disp = np.asarray(belief_propagation_disparity(
-            jnp.asarray(left), jnp.asarray(right), num_disp=32,
-            iters=5, levels=4))
+            jnp.asarray(left), jnp.asarray(right), **_BP_ARGS))
         err = np.abs(disp - d_gt)[interior]
         assert (err <= 1.0).mean() > 0.97, f"only {(err<=1).mean():.2f} <=1px"
         assert err.mean() < 0.3
@@ -43,19 +52,17 @@ class TestBeliefPropagation:
     def test_dense_output(self):
         left, right, _, _ = make_pair()
         disp = np.asarray(belief_propagation_disparity(
-            jnp.asarray(left), jnp.asarray(right), num_disp=32,
-            iters=3, levels=3))
+            jnp.asarray(left), jnp.asarray(right), **_BP_ARGS))
         assert disp.shape == left.shape
         assert np.isfinite(disp).all()
-        assert disp.min() >= 0.0 and disp.max() <= 32.0
+        assert disp.min() >= 0.0 and disp.max() <= _BP_ARGS["num_disp"]
 
 
 class TestConstantSpaceBP:
     def test_recovers_piecewise_disparity(self):
         left, right, d_gt, interior = make_pair()
         disp = np.asarray(constant_space_bp_disparity(
-            jnp.asarray(left), jnp.asarray(right), num_disp=32,
-            iters=4, levels=4, nr_plane=4))
+            jnp.asarray(left), jnp.asarray(right), **_CSBP_ARGS))
         err = np.abs(disp - d_gt)[interior]
         # constant-space keeps only nr_plane candidates/pixel — coarser
         # than full BP by design
@@ -66,18 +73,73 @@ class TestConstantSpaceBP:
         (pure doubling locks the output to multiples of 2^(levels-1))."""
         left, right, d_gt, interior = make_pair()
         disp = np.asarray(constant_space_bp_disparity(
-            jnp.asarray(left), jnp.asarray(right), num_disp=32,
-            iters=4, levels=4, nr_plane=4))
+            jnp.asarray(left), jnp.asarray(right), **_CSBP_ARGS))
         frac_odd_correct = (np.abs(disp - 5.0) < 0.5)[
             interior & (d_gt == 5)].mean()
         assert frac_odd_correct > 0.8
 
 
 class TestMethodSelection:
-    @pytest.mark.parametrize("method", [1, 3, 4])
+    @pytest.mark.parametrize("method", [1, 3])
+    def test_fused_step_wiring_traces(self, method):
+        """Methods 1 (XLA-BM twin) and 3 (BP) wire into the fused frontend
+        program (parity: ui.stereo_method, stereo_frontend.cpp:535).
+
+        `stereo_method` is a STATIC argument — selection happens at trace
+        time — so `jax.eval_shape` proves the whole per-frame program
+        builds with the selected op (shape/dtype wiring bugs surface here)
+        without paying the ~25 s/method XLA compile on the 1-core CI
+        machine. Each method's disparity NUMERICS are covered directly by
+        the op-level tests above and in test_ops_stereo.py; method 4 keeps
+        the full end-to-end run below."""
+        import jax
+
+        from scavislam_tpu.core.camera import StereoCamera
+        from scavislam_tpu.models import frontend_step as FS
+        from scavislam_tpu.models.map_store import PointTable, PoseTable
+
+        h, w, levels = 64, 96, 3
+        cam = StereoCamera.create(48.0, (47.5, 31.5), (w, h), 0.1)
+        cams = [cam.scale_level(l) for l in range(levels)]
+        params = tuple((c.focal, c.pp[0], c.pp[1], c.baseline) for c in cams)
+        statics = tuple((int(c.size[0]), int(c.size[1])) for c in cams)
+
+        from scavislam_tpu.ops.image import build_pyramid, sobel_xy
+        from scavislam_tpu.ops.stereo import block_matching_disparity
+
+        frames = jnp.zeros((2, h, w), jnp.float32)
+
+        def one_state(img, right):
+            pyr = build_pyramid(img, levels)
+            dxs, dys = zip(*[sobel_xy(p) for p in pyr])
+            disp = block_matching_disparity(img, right, num_disp=16,
+                                            radius=5)
+            return FS._cloud_state(
+                pyr, disp, jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32), params, levels, dxs, dys)
+
+        # shapes only — nothing in this test needs an XLA compile
+        clouds, valids, intens, Js = jax.eval_shape(
+            one_state, frames[0], frames[1])
+        out = jax.eval_shape(
+            lambda fr, cl, it, va, J, R, t, ak, po, pt, cd: FS.frontend_step(
+                fr, cl, it, va, J, R, t, ak, po, pt, cd, params, statics,
+                levels=levels, num_disp=16, stereo_method=method,
+                stereo_opts=(3, 3, 4)),
+            frames, clouds, intens, valids, Js,
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.zeros((), jnp.int32), PoseTable.empty(), PointTable.empty(),
+            jnp.full((768,), -1, jnp.int32),
+        )
+        assert out.packed.dtype == jnp.float32
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("method", [4])
     def test_frontend_tracks_with_method(self, method):
-        """End-to-end VO with each runtime-selectable disparity method
-        (parity: ui.stereo_method, stereo_frontend.cpp:535)."""
+        """End-to-end VO with a non-default runtime-selected disparity
+        method (parity: ui.stereo_method, stereo_frontend.cpp:535). CSBP is
+        the structurally furthest from the default Pallas BM (per-level
+        top-K plane expansion), so it is the one that earns the full run."""
         import dataclasses
 
         from scavislam_tpu.core.camera import StereoCamera

@@ -111,6 +111,7 @@ class TestShardedBA:
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 class TestMultistreamFrontend:
     def test_vmapped_full_step_matches_per_stream(self):
         """build_multistream_frontend (the FULL fused frontend step over a
@@ -161,17 +162,27 @@ class TestMultistreamFrontend:
         out = step(frames, clouds, intens, valids, Js, Rb, tb, ak,
                    poses_b, points_b, cand)
 
+        # unbatch on the HOST: eager jnp `x[s]` indexing compiles a
+        # dynamic_slice+squeeze pair per distinct leaf shape (dozens of
+        # 15-50 ms compiles on this 1-core machine); numpy slicing is free
+        # and frontend_step device_puts its inputs anyway
+        np_leaf = lambda x: np.asarray(x)
+        frames_n, Rb_n, tb_n, ak_n, cand_n = map(
+            np_leaf, (frames, Rb, tb, ak, cand))
+        clouds_n, intens_n, valids_n, Js_n, poses_n, points_n = (
+            jax.tree.map(np_leaf, t)
+            for t in (clouds, intens, valids, Js, poses_b, points_b))
         for s in range(B):
             ref = FS.frontend_step(
-                frames[s],
-                jax.tree.map(lambda x: x[s], clouds),
-                jax.tree.map(lambda x: x[s], intens),
-                jax.tree.map(lambda x: x[s], valids),
-                jax.tree.map(lambda x: x[s], Js),
-                Rb[s], tb[s], ak[s],
-                jax.tree.map(lambda x: x[s], poses_b),
-                jax.tree.map(lambda x: x[s], points_b),
-                cand[s], cam_params, cam_statics, levels, 16, False,
+                frames_n[s],
+                jax.tree.map(lambda x: x[s], clouds_n),
+                jax.tree.map(lambda x: x[s], intens_n),
+                jax.tree.map(lambda x: x[s], valids_n),
+                jax.tree.map(lambda x: x[s], Js_n),
+                Rb_n[s], tb_n[s], ak_n[s],
+                jax.tree.map(lambda x: x[s], poses_n),
+                jax.tree.map(lambda x: x[s], points_n),
+                cand_n[s], cam_params, cam_statics, levels, 16, False,
                 2.0, 0.18, 1)
             np.testing.assert_allclose(
                 np.asarray(out.packed[s]), np.asarray(ref.packed),

@@ -26,6 +26,7 @@ def small_cfg():
     )
 
 
+@pytest.mark.slow
 class TestRelocalization:
     def test_recovers_from_kidnap(self):
         n = 14
@@ -95,6 +96,7 @@ class TestRelocalization:
         system.shutdown()
 
 
+@pytest.mark.slow
 class TestMapReuse:
     def test_save_load_relocalize_continue(self, tmp_path):
         """Offline map reuse: map a sequence, checkpoint the FULL system,

@@ -56,6 +56,9 @@ def main(argv=None):
                          "lost mode and relocalizes against the loaded map")
     ap.add_argument("--save-traj-tum", help="export trajectory in TUM format")
     ap.add_argument("--viz", help="render a top-down map PNG at the end")
+    ap.add_argument("--viz-html",
+                    help="export the interactive 3-D map viewer (one "
+                         "self-contained HTML file) at the end")
     ap.add_argument("--pipelined", action="store_true",
                     help="pipelined frame processing (policy lags 2 frames)")
     ap.add_argument("--pipeline-depth", type=int, default=None,
@@ -208,6 +211,14 @@ def main(argv=None):
             gt_poses=gt_poses or None, path=args.viz,
         )
 
+    if args.viz_html:
+        from scavislam_tpu.apps.map3d import export_map_html
+
+        export_map_html(
+            system.backend.graph, trajectory=system.trajectory,
+            gt_poses=gt_poses or None, path=args.viz_html,
+            actkey_id=system.frontend.actkey_id,
+        )
     if args.timing_plot:
         from scavislam_tpu.apps.visualize import render_timing_plot
 

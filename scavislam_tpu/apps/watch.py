@@ -10,8 +10,9 @@ module provides the same two capabilities over the filesystem:
   per-frame debug view, stacked timing histogram) are re-rendered ATOMICALLY
   (tmp + rename, so a viewer never sees a torn file) into the watch
   directory at a configurable period, alongside a ``status.json`` with live
-  counters. Point any auto-reloading image viewer / browser tab at the
-  directory.
+  counters and ``map3d.html`` — the INTERACTIVE 3-D map/graph view
+  (apps/map3d.py; orbit/pan/zoom, camera pose survives refresh). Point any
+  auto-reloading image viewer / browser tab at the directory.
 - **retuning**: ``tunables.cfg`` in the watch directory is re-read every
   refresh; edits apply to the RUNNING system without restart. A commented
   template is written on startup. Live-tunable (value-read-per-frame)
@@ -175,6 +176,18 @@ class Watcher:
                 sysm.backend.graph, trajectory=sysm.trajectory,
                 gt_poses=gt_poses or None)
             _atomic_save(img, os.path.join(self.dir, "map.png"))
+        except Exception:
+            pass
+        try:
+            from scavislam_tpu.apps.map3d import export_map_html
+
+            # interactive 3-D view; localStorage keeps the browser camera
+            # across these re-exports, so refreshing is seamless
+            export_map_html(
+                sysm.backend.graph, trajectory=sysm.trajectory,
+                gt_poses=gt_poses or None,
+                path=os.path.join(self.dir, "map3d.html"),
+                actkey_id=sysm.frontend.actkey_id)
         except Exception:
             pass
         if self.debug_mode >= 0 and sysm.frontend.keyframe_map:

@@ -260,7 +260,7 @@ class TestWatch:
 
         system.process_first_frame(seq.frame(0))
         watcher.tick(0)
-        for name in ("map.png", "timing.png", "status.json"):
+        for name in ("map.png", "timing.png", "status.json", "map3d.html"):
             assert os.path.exists(os.path.join(wdir, name)), name
         assert not os.path.exists(os.path.join(wdir, "status.json.tmp"))
 
@@ -290,6 +290,69 @@ class TestWatch:
         assert system.process_frame(seq.frame(2))
         watcher.tick(2)
         assert watcher.quit
+
+
+class TestMap3d:
+    def test_scene_geometry_and_html_export(self, tmp_path):
+        """apps/map3d (the interactive 3-D view, parity: the reference GUI's
+        v_graph 3-D scene, stereo_slam.cpp:497-565): anchored inverse-depth
+        points and keyframe centers must land at their true WORLD positions
+        in the exported scene, edges must carry type + marginalization, and
+        the HTML must be self-contained (inline data, no external fetches)."""
+        import json as _json
+        import types
+
+        from scavislam_tpu.apps.map3d import export_map_html, extract_scene
+        from scavislam_tpu.core.lie import SE3
+        from scavislam_tpu.models.slam_graph import APPEARANCE, LOCAL
+
+        rng = np.random.RandomState(5)
+        T0 = SE3.exp(np.array([0.1, -0.2, 0.3, 0.04, -0.02, 0.05],
+                             np.float32))
+        T1 = SE3.exp(np.array([-0.3, 0.1, 0.6, -0.03, 0.06, 0.01],
+                             np.float32))
+        vert = {}
+        for k, T in ((0, T0), (7, T1)):
+            vert[k] = types.SimpleNamespace(
+                R=np.asarray(T.R, np.float64), t=np.asarray(T.t, np.float64))
+        xyz_w = rng.randn(3) + np.array([0.0, 0.0, 4.0])
+        xyz_a = vert[0].R @ xyz_w + vert[0].t  # world -> anchor cam
+        psi = np.array([xyz_a[0] / xyz_a[2], xyz_a[1] / xyz_a[2],
+                        1.0 / xyz_a[2]])
+        points = {
+            3: types.SimpleNamespace(anchor_id=0, psi=psi),
+            4: types.SimpleNamespace(anchor_id=99, psi=psi),  # dangling
+        }
+        edges = {
+            (0, 7): types.SimpleNamespace(
+                edge_type=LOCAL, is_marginalized=lambda: True),
+            (7, 0): types.SimpleNamespace(
+                edge_type=APPEARANCE, is_marginalized=lambda: False),
+        }
+        graph = types.SimpleNamespace(vertices=vert, points=points,
+                                      edges=edges)
+
+        scene = extract_scene(graph, actkey_id=7)
+        assert scene["kf_ids"] == [0, 7]
+        assert scene["actkey"] == 1
+        # camera centers: -R^T t
+        np.testing.assert_allclose(
+            scene["kf_centers"][0], -vert[0].R.T @ vert[0].t, atol=1e-3)
+        # the anchored point must come back at its true world position;
+        # the dangling-anchor point must be dropped
+        assert len(scene["points"]) == 1
+        np.testing.assert_allclose(scene["points"][0], xyz_w, atol=2e-3)
+        assert sorted(e[2:] for e in scene["edges"]) == sorted(
+            [[int(LOCAL), 1], [int(APPEARANCE), 0]])
+
+        out = str(tmp_path / "m.html")
+        export_map_html(graph, path=out, actkey_id=7)
+        html = open(out).read()
+        assert "<canvas" in html and "localStorage" in html
+        assert "http://" not in html and "https://" not in html  # no CDN
+        payload = html.split("const SCENE = ", 1)[1].split(";\n", 1)[0]
+        assert _json.loads(payload)["kf_ids"] == [0, 7]
+        assert not os.path.exists(out + ".tmp")
 
 
 class TestDictionaryBuilder:

@@ -182,7 +182,11 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
                      disp0, level, zmssd_thr, search_radius,
                      source_patches_q=None):
     """Inlined guided matching for one level (same math as matcher._match_level
-    but callable inside the fused step)."""
+    but callable inside the fused step).
+
+    `disp0=None` selects MONOCULAR matching (trace-time branch): the
+    observation is the sub-pixel level-0 uv with a zero third component and
+    no disparity gating (the mono pipeline has no right image)."""
     focal, ppx, ppy = cam_l["focal"], cam_l["ppx"], cam_l["ppy"]
     w, h = cam_l["size"]
     N = xyz_w.shape[0]
@@ -262,6 +266,9 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
 
     s = jnp.float32(2**level)
     uv0 = (corner + 0.5) * s - 0.5
+    if disp0 is None:  # monocular: uv observation, no disparity gate
+        obs = jnp.concatenate([uv0, jnp.zeros_like(uv0[:, :1])], axis=-1)
+        return obs, matched
     disp_val, disp_ok = nearest_sample(disp0, uv0)
     matched = matched & disp_ok & (disp_val > 0)
     obs = jnp.stack([uv0[:, 0], uv0[:, 1], uv0[:, 0] - disp_val], axis=-1)

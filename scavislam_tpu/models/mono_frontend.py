@@ -1,0 +1,287 @@
+"""Monocular front-end: host orchestrator over the fused mono device step.
+
+ENABLES the reference's never-shipped monocular mode (scaffolded behind
+``#ifdef MONO``: Sim3 types anchored_points.h:180-218, uv prediction models
+transformations.h:623-660, the information-filter point initializer
+pose_optimizer.h:300-422 — no mono frontend exists in the reference tree).
+Architecture mirrors models.frontend.StereoFrontend: ONE fused device
+program per frame (models.mono_step.mono_step), one per new keyframe
+(spawn_points_mono), host does scalar policy only.
+
+Differences from the stereo frontend, by necessity of the sensor:
+- no dense tracking (photometric alignment needs per-pixel depth): guided
+  matching searches around the PREVIOUS pose's predictions;
+- every candidate carries an information matrix; depth converges with
+  parallax through the batched RSS'10 filter inside the frame step;
+- scale is gauged by the spawn-time inverse-depth prior — mono trajectories
+  are defined up to one global similarity, so evaluate with the
+  Sim3-aligned ATE (pipeline.slam_system.ate_rmse_aligned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from scavislam_tpu.core.camera import StereoCamera
+from scavislam_tpu.core.lie import PoseRT, SE3
+from scavislam_tpu.models.frontend_step import level_sections
+from scavislam_tpu.models.map_store import (
+    MAX_KEYFRAMES,
+    MAX_POINTS,
+    PointTable,
+    PoseTable,
+)
+from scavislam_tpu.models.mono_step import mono_step, spawn_points_mono
+from scavislam_tpu.utils.config import Config
+
+CAND_CAP = 512
+NEW_PER_LEVEL = (192, 64, 32)
+TRACKED_CAP = 512
+MIN_TRACK_OBS = 15
+
+
+class MonoTrackingFailure(Exception):
+    pass
+
+
+class MonoFrontend:
+    """Feature-based monocular VO with filter-initialized inverse depth.
+
+    Keyframe policy mirrors the stereo rules (stereo_frontend.cpp:512-528)
+    with the translation threshold interpreted in prior-scale units."""
+
+    def __init__(self, cam: StereoCamera, cfg: Config = None, *,
+                 prior_idepth: float = 0.25, conv_q_info: float = 25.0,
+                 prior_weight: float = 0.05):
+        self.cfg = cfg or Config()
+        self.cam = cam
+        self.levels = self.cfg.use_n_levels_in_frontent
+        self.cams = [cam.scale_level(l) for l in range(self.levels)]
+        self._cam_params = tuple(
+            (c.focal, c.pp[0], c.pp[1]) for c in self.cams
+        )
+        self._cam_statics = tuple(c.size for c in self.cams)
+        self.prior_idepth = float(prior_idepth)
+        self.conv_q_info = float(conv_q_info)
+        self.prior_weight = float(prior_weight)
+
+        self.poses = PoseTable.empty()
+        self.points = PointTable.empty()
+        self.Lam = jnp.zeros((MAX_POINTS, 3, 3), jnp.float32)
+
+        self.next_kf = 0
+        self.next_point = 0
+        self.kf_point_ids: dict[int, np.ndarray] = {}
+        self.covis: dict[int, dict[int, int]] = {}
+        self.pose_np: dict[int, tuple] = {}
+        self.actkey_id = -1
+        self.frame_id = -1
+        self.trajectory: list = []
+
+        self._meta_anchor = np.full(MAX_POINTS, -1, np.int64)
+        self._meta_level = np.zeros(MAX_POINTS, np.int64)
+
+        self._R_cw = np.eye(3, dtype=np.float32)
+        self._t_cw = np.zeros(3, np.float32)
+        self._dev_R_cw = None
+        self._dev_t_cw = None
+        self._cand_np = None
+        self._cand_dev = None
+        self._tracked_ids = np.zeros(0, np.int64)
+        self._tracked_uv = np.zeros((0, 2), np.float32)
+        self.last_lam_qq = np.zeros(0, np.float32)
+
+    # -- helpers ----------------------------------------------------------- #
+    def _world_pose(self) -> PoseRT:
+        return PoseRT(self._R_cw.astype(np.float64).copy(),
+                      self._t_cw.astype(np.float64).copy())
+
+    def _cand_device(self, cand_ids):
+        if self._cand_np is None or not np.array_equal(
+                self._cand_np, cand_ids):
+            self._cand_np = cand_ids.copy()
+            self._cand_dev = jnp.asarray(cand_ids, jnp.int32)
+        return self._cand_dev
+
+    def _collect_candidates(self) -> np.ndarray:
+        lists = []
+        if self.actkey_id in self.kf_point_ids:
+            lists.append(self.kf_point_ids[self.actkey_id])
+        for nbr in sorted(
+            self.covis.get(self.actkey_id, {}),
+            key=lambda k: -self.covis[self.actkey_id][k],
+        ):
+            lists.append(self.kf_point_ids.get(nbr, np.zeros(0, np.int64)))
+        ids = (np.unique(np.concatenate(lists)) if lists
+               else np.zeros(0, np.int64))
+        out = np.full((CAND_CAP,), -1, np.int64)
+        if len(ids):
+            lv = self._meta_level[np.clip(ids, 0, MAX_POINTS - 1)]
+            off = 0
+            for l, cap in enumerate(level_sections(self.levels, CAND_CAP)):
+                sel = ids[lv == l][:cap]
+                out[off:off + len(sel)] = sel
+                off += cap
+        return out
+
+    # -- frame processing --------------------------------------------------- #
+    def _run_step(self, frame, cand_ids):
+        img = np.asarray(frame["left"])
+        R_cw = (self._dev_R_cw if self._dev_R_cw is not None
+                else jnp.asarray(self._R_cw))
+        t_cw = (self._dev_t_cw if self._dev_t_cw is not None
+                else jnp.asarray(self._t_cw))
+        out = mono_step(
+            jnp.asarray(img), R_cw, t_cw,
+            jnp.int32(max(self.actkey_id, 0)),
+            self.poses, self.points, self.Lam,
+            self._cand_device(cand_ids),
+            jnp.float32(self.conv_q_info), jnp.float32(self.prior_weight),
+            self._cam_params, self._cam_statics, self.levels,
+            float(self.cfg.ui.max_reproj_error), 0.18,
+        )
+        self.points = out.points
+        self.Lam = out.Lam
+        self._dev_R_cw = out.R_cw
+        self._dev_t_cw = out.t_cw
+        self.last_pyr = out.pyr
+        return out
+
+    def process_first_frame(self, frame: dict):
+        self.frame_id = frame.get("frame_id", 0)
+        kf_id = self._new_keyframe_id()
+        T_kw = frame.get("T_cw_init", SE3.identity())
+        self.poses = self.poses.set(kf_id, T_kw)
+        self.pose_np[kf_id] = (np.asarray(T_kw.R, np.float32),
+                               np.asarray(T_kw.t, np.float32))
+        self.actkey_id = kf_id
+        self._R_cw = np.asarray(T_kw.R, np.float32)
+        self._t_cw = np.asarray(T_kw.t, np.float32)
+        self.covis[kf_id] = {}
+
+        # one pass of the frame step just to build the pyramid for spawning
+        from scavislam_tpu.ops.image import build_pyramid
+
+        img = np.asarray(frame["left"], np.float32)
+        pyr = build_pyramid(jnp.asarray(img), self.levels)
+        self._spawn(pyr, kf_id, None)
+        self.trajectory.append((self.frame_id, self._world_pose()))
+
+    def process_frame(self, frame: dict):
+        """Track one frame. Returns (success, dropped_new_keyframe)."""
+        self.frame_id = frame.get("frame_id", self.frame_id + 1)
+        cand_ids = self._collect_candidates()
+        out = self._run_step(frame, cand_ids)
+
+        C = CAND_CAP
+        pk = np.asarray(out.packed)  # the ONE host fetch
+        R_cw = pk[0:9].reshape(3, 3)
+        t_cw = pk[9:12]
+        n_matched, n_gated, n_conv, t_norm, mean_track_len = pk[24:29]
+        quad_counts = pk[30:34]
+        gate = pk[34:34 + C] > 0.5
+        obs_uv = pk[34 + 2 * C: 34 + 4 * C].reshape(C, 2)
+        self.last_lam_qq = pk[34 + 4 * C: 34 + 5 * C]
+
+        if int(n_gated) < MIN_TRACK_OBS or not np.isfinite(t_cw).all():
+            return False, False
+        self._R_cw, self._t_cw = R_cw.astype(np.float32), t_cw.astype(
+            np.float32)
+        self._tracked_ids = cand_ids[gate]
+        self._tracked_uv = obs_uv[gate]
+        self.trajectory.append((self.frame_id, self._world_pose()))
+
+        dropped = False
+        if self._shall_drop_keyframe(quad_counts, float(t_norm),
+                                     float(mean_track_len)):
+            self._add_new_keyframe(out)
+            dropped = True
+        return True, dropped
+
+    # -- keyframe policy ----------------------------------------------------- #
+    def _shall_drop_keyframe(self, quad_counts, t_norm, mean_track_len):
+        cfg = self.cfg
+        featureless = int(
+            (np.asarray(quad_counts) < cfg.ui.min_num_points).sum())
+        if featureless >= cfg.frontend.new_keyframe_featureless_corners_thr:
+            return True
+        if t_norm > cfg.ui.parallax_thr:
+            return True
+        if mean_track_len > cfg.frontend.new_keyframe_pixel_thr:
+            return True
+        return False
+
+    def _new_keyframe_id(self) -> int:
+        kf = self.next_kf
+        assert kf < MAX_KEYFRAMES, "keyframe table full"
+        self.next_kf += 1
+        return kf
+
+    def _spawn(self, pyr, kf_id: int, tracked_uv):
+        caps = NEW_PER_LEVEL[: self.levels]
+        total = sum(caps)
+        if self.next_point + total > MAX_POINTS:
+            self.next_point = 0
+        starts = []
+        for cap in caps:
+            starts.append(self.next_point)
+            self.next_point += cap
+
+        t_uv0 = np.zeros((TRACKED_CAP, 2), np.float32)
+        t_val = np.zeros(TRACKED_CAP, bool)
+        if tracked_uv is not None and len(tracked_uv) > 0:
+            n = min(len(tracked_uv), TRACKED_CAP)
+            t_uv0[:n] = tracked_uv[:n]
+            t_val[:n] = True
+
+        self.points, self.Lam, payloads = spawn_points_mono(
+            pyr, jnp.asarray(t_uv0), jnp.asarray(t_val),
+            self.points, self.Lam,
+            jnp.asarray(starts, jnp.int32), jnp.int32(kf_id),
+            jnp.float32(self.prior_idepth),
+            self._cam_params, self._cam_statics,
+            self.levels, tuple(caps),
+            float(self.cfg.frontend.newpoint_clearance),
+        )
+        pk = np.asarray(payloads)
+        all_ids = []
+        off = 0
+        for l, cap in enumerate(caps):
+            off += cap * 3 + cap * 2  # psi + uv0
+            ok = pk[off: off + cap] > 0.5
+            off += cap
+            ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)
+            self._meta_anchor[ids] = kf_id
+            self._meta_level[ids] = l
+            self._meta_anchor[ids[~ok]] = -1
+            all_ids.append(ids[ok])
+        self.kf_point_ids[kf_id] = np.concatenate(all_ids)
+        self._cand_np = None
+
+    def _add_new_keyframe(self, out):
+        kf_id = self._new_keyframe_id()
+        T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
+        self.poses = self.poses.set(kf_id, T_cw)
+        self.pose_np[kf_id] = (self._R_cw.copy(), self._t_cw.copy())
+
+        anch = self._meta_anchor[np.clip(self._tracked_ids, 0,
+                                         MAX_POINTS - 1)]
+        strengths = {}
+        for a, c in zip(*np.unique(anch, return_counts=True)):
+            if int(a) >= 0 and int(c) >= self.cfg.frontend.covis_thr:
+                strengths[int(a)] = int(c)
+        self.covis[kf_id] = dict(strengths)
+        for a, s in strengths.items():
+            self.covis.setdefault(a, {})[kf_id] = s
+
+        # tracked points that survive into this keyframe stay candidates;
+        # new candidates fill uncovered cells
+        self._spawn(out.pyr, kf_id, self._tracked_uv)
+        # the surviving tracked ids remain owned by their anchors; this
+        # keyframe's candidate list = its new spawns + tracked survivors
+        self.kf_point_ids[kf_id] = np.concatenate(
+            [self.kf_point_ids[kf_id], self._tracked_ids])
+        self.actkey_id = kf_id
+        self._cand_np = None

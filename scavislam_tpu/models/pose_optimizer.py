@@ -67,6 +67,34 @@ def _predict_and_jac(cam: StereoCamera, R, t, xyz_w):
     return pred, Jproj @ Jexp, z
 
 
+def _predict_and_jac_uv(focal, ppx, ppy, R, t, xyz_w):
+    """Monocular uv prediction + d(pred)/dxi (parity: the MONO prediction
+    models SE3XYZ / frame_jac_xyz2uv, transformations.h:116-139,623-660)."""
+    y = jnp.einsum("ij,nj->ni", R, xyz_w) + t
+    x, yy = y[..., 0], y[..., 1]
+    z = y[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = x / z_safe * focal + ppx
+    v = yy / z_safe * focal + ppy
+    pred = jnp.stack([u, v], axis=-1)
+
+    z2 = z_safe * z_safe
+    zero = jnp.zeros_like(z)
+    r0 = jnp.stack([focal / z_safe, zero, -focal * x / z2], axis=-1)
+    r1 = jnp.stack([zero, focal / z_safe, -focal * yy / z2], axis=-1)
+    Jproj = jnp.stack([r0, r1], axis=-2)  # (N, 2, 3)
+    from scavislam_tpu.core.lie import hat
+
+    Jexp = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), (*y.shape[:-1], 3, 3)),
+            -hat(y),
+        ],
+        axis=-1,
+    )  # (N, 3, 6)
+    return pred, Jproj @ Jexp, z
+
+
 def pseudo_huber_weight(chi2: jnp.ndarray, delta: float):
     """IRLS weight for the pseudo-Huber kernel at squared error chi2."""
     return 1.0 / jnp.sqrt(1.0 + chi2 / (delta * delta))
@@ -91,6 +119,41 @@ def motion_only_ba(
         mask = valid & (z > 0.1) & jnp.all(jnp.isfinite(r), axis=-1)
         r = jnp.where(mask[:, None], r, 0.0)
         return r, J, mask
+
+    return _lm_pose_core(_masked_residuals, T_init, weights, valid,
+                         huber_delta)
+
+
+def motion_only_ba_uv(
+    cam_params,  # (focal, ppx, ppy) — monocular pinhole
+    T_init: SE3,
+    xyz_w: jnp.ndarray,  # (N, 3) fixed world points
+    obs_uv: jnp.ndarray,  # (N, 2) level-0 uv observations
+    weights: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    huber_delta: float = 1.0,
+) -> MotionOnlyResult:
+    """Monocular motion-only BA: the same robust LM over 2-component uv
+    residuals (parity: the MONO-typedef'd BA_SE3_XYZ optimizer,
+    pose_optimizer.h:489-495 — the reference instantiates its PoseOptimizer
+    for uv observations behind #ifdef MONO but never ships it enabled)."""
+    focal, ppx, ppy = cam_params
+
+    def _masked_residuals(R, t):
+        pred, J, z = _predict_and_jac_uv(focal, ppx, ppy, R, t, xyz_w)
+        r = obs_uv - pred
+        mask = valid & (z > 0.1) & jnp.all(jnp.isfinite(r), axis=-1)
+        r = jnp.where(mask[:, None], r, 0.0)
+        return r, J, mask
+
+    return _lm_pose_core(_masked_residuals, T_init, weights, valid,
+                         huber_delta)
+
+
+def _lm_pose_core(_masked_residuals, T_init, weights, valid, huber_delta):
+    """The robust LM loop over one SE3 pose, generic in observation
+    dimension: `_masked_residuals(R, t) -> (r (N,D), J (N,D,6), mask (N,))`.
+    Shared by the stereo (uvu, D=3) and monocular (uv, D=2) optimizers."""
 
     def chi2_of(R, t):
         r, _, mask = _masked_residuals(R, t)

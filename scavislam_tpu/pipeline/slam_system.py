@@ -293,6 +293,37 @@ class SlamSystem:
         return np.asarray(rows)
 
 
+def ate_rmse_aligned(trajectory, gt_poses, with_scale: bool = True) -> float:
+    """ATE RMSE after a closed-form Sim3 (Umeyama) alignment of the camera
+    centers. Monocular trajectories are defined up to one global similarity
+    (scale gauged by the inverse-depth prior), so this is THE mono metric;
+    with_scale=False gives the SE3-aligned variant."""
+    from scavislam_tpu.core.lie import PoseRT
+
+    est, gt = [], []
+    for (fid, T_est), T_gt in zip(trajectory, gt_poses):
+        Te = PoseRT.from_any(T_est)
+        Tg = PoseRT.from_any(T_gt)
+        est.append(-Te.R.T @ Te.t)  # camera centers in world
+        gt.append(-Tg.R.T @ Tg.t)
+    est = np.stack(est)
+    gt = np.stack(gt)
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    E, G = est - mu_e, gt - mu_g
+    C = G.T @ E / len(est)
+    U, D, Vt = np.linalg.svd(C)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_e = (E ** 2).sum() / len(est)
+    s = float(np.trace(np.diag(D) @ S) / max(var_e, 1e-12)) if with_scale \
+        else 1.0
+    t = mu_g - s * R @ mu_e
+    resid = gt - (s * est @ R.T + t)
+    return float(np.sqrt((resid ** 2).sum(axis=1).mean()))
+
+
 def ate_rmse(trajectory, gt_poses) -> float:
     """Absolute trajectory error (translation RMSE), no alignment: both
     trajectories share the first-frame gauge. All math in numpy — an eager

@@ -1,0 +1,162 @@
+"""Monocular visual odometry CLI — the mono mode the reference scaffolds
+but never ships (``#ifdef MONO``, README:14-15).
+
+Runs models.mono_frontend.MonoFrontend (one fused device program per frame)
+over the LEFT image stream of a dataset or synthetic sequence, with
+optional Sim3 loop closure between revisiting keyframes
+(models.mono_loop). Trajectories are scale-gauged by the inverse-depth
+prior; against ground truth the report gives the Sim3-aligned ATE
+(pipeline.slam_system.ate_rmse_aligned) plus the recovered-scale factor.
+
+Examples:
+  python -m scavislam_tpu.apps.mono_vo --synthetic 40 --viz mono.png
+  python -m scavislam_tpu.apps.mono_vo data/newcollege.cfg --out traj.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", nargs="?", help="reference-format .cfg file")
+    ap.add_argument("--dataset", help="override framepipe.path_str")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--synthetic-kind", default="forward_arc")
+    ap.add_argument("--synthetic-step", type=float, default=0.035)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--out", default=None, help="trajectory export (TUM)")
+    ap.add_argument("--viz", help="top-down map PNG at the end")
+    ap.add_argument("--viz-html", help="interactive 3-D viewer export")
+    ap.add_argument("--prior-idepth", type=float, default=0.25,
+                    help="inverse-depth prior = the global scale gauge")
+    ap.add_argument("--loop-close", action="store_true",
+                    help="attempt a Sim3 loop closure between the last "
+                         "keyframe and keyframe 0 at the end of the run")
+    args = ap.parse_args(argv)
+
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.models.mono_frontend import MonoFrontend
+    from scavislam_tpu.utils.config import Config, load_config
+
+    cfg = load_config(args.config) if args.config else Config()
+    cam = StereoCamera.create(
+        cfg.cam.f, (cfg.cam.px, cfg.cam.py),
+        (cfg.cam.width, cfg.cam.height), cfg.cam.baseline,
+    )
+
+    gt_poses = []
+    if args.synthetic:
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+
+        seq = SyntheticSequence(cam, n_frames=args.synthetic,
+                                kind=args.synthetic_kind,
+                                step=args.synthetic_step)
+        frames = iter(seq)
+    else:
+        from scavislam_tpu.io.filegrabber import FileGrabber
+
+        path = args.dataset or cfg.framepipe.path_str
+        grab = FileGrabber(
+            path,
+            base_pattern=cfg.framepipe.base_str,
+            fmt=cfg.framepipe.format_str,
+            right_img=False,  # mono consumes only the left stream
+            skip=cfg.framepipe.skip_imgs,
+            focal=cfg.cam.f,
+            baseline=cfg.cam.baseline,
+        )
+        frames = iter(grab)
+
+    fe = MonoFrontend(cam, cfg, prior_idepth=args.prior_idepth)
+    t0 = time.perf_counter()
+    n = 0
+    for frame in frames:
+        if args.max_frames and n >= args.max_frames:
+            break
+        if "T_cw_gt" in frame:
+            gt_poses.append(frame["T_cw_gt"])
+        if n == 0:
+            fe.process_first_frame(frame)
+        else:
+            ok, _dropped = fe.process_frame(frame)
+            if not ok:
+                print(f"mono tracking FAILED at frame {n}", file=sys.stderr)
+                break
+        n += 1
+    wall = time.perf_counter() - t0
+
+    loop_report = None
+    if args.loop_close and fe.next_kf >= 2:
+        from scavislam_tpu.models import mono_loop
+
+        kf_last = max(fe.pose_np)
+        S, n_inl = mono_loop.estimate_sim3(fe, kf_last, 0)
+        if S is not None:
+            scales = mono_loop.close_loop_sim3(fe, kf_last, 0, S)
+            loop_report = {"inliers": n_inl,
+                           "scale": round(float(S.s), 4),
+                           "regauge": {k: round(v, 4)
+                                       for k, v in scales.items()}}
+        else:
+            loop_report = {"inliers": n_inl, "accepted": False}
+
+    summary = {
+        "frames": n,
+        "fps": round(n / max(wall, 1e-9), 1),
+        "keyframes": fe.next_kf,
+        "points": int(np.asarray(fe.points.valid).sum()),
+        "converged_points": int(
+            (np.asarray(fe.Lam)[:, 2, 2] > fe.conv_q_info).sum()),
+    }
+    if loop_report is not None:
+        summary["loop"] = loop_report
+    if gt_poses and len(fe.trajectory) > 3:
+        from scavislam_tpu.pipeline.slam_system import ate_rmse_aligned
+
+        summary["ate_sim3_m"] = round(
+            ate_rmse_aligned(fe.trajectory, gt_poses[:len(fe.trajectory)]),
+            5)
+
+    if args.out:
+        from scavislam_tpu.utils.serialization import save_trajectory_tum
+
+        save_trajectory_tum(fe.trajectory, args.out)
+    if args.viz or args.viz_html:
+        # render through the graph-free path: build a minimal graph view
+        import types
+
+        verts = {k: types.SimpleNamespace(R=v[0], t=v[1])
+                 for k, v in fe.pose_np.items()}
+        pts = {}
+        lam = np.asarray(fe.Lam)[:, 2, 2]
+        anch = fe._meta_anchor
+        psi = np.asarray(fe.points.psi)
+        for pid in np.nonzero((anch >= 0) & (lam > fe.conv_q_info))[0]:
+            pts[int(pid)] = types.SimpleNamespace(
+                anchor_id=int(anch[pid]), psi=psi[pid])
+        graph = types.SimpleNamespace(vertices=verts, points=pts, edges={})
+        if args.viz:
+            from scavislam_tpu.apps.visualize import render_map_topdown
+
+            render_map_topdown(graph, trajectory=fe.trajectory,
+                               gt_poses=gt_poses or None, path=args.viz)
+        if args.viz_html:
+            from scavislam_tpu.apps.map3d import export_map_html
+
+            export_map_html(graph, trajectory=fe.trajectory,
+                            gt_poses=gt_poses or None, path=args.viz_html,
+                            actkey_id=fe.actkey_id)
+    print(json.dumps(summary, indent=1))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

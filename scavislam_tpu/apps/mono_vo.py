@@ -38,8 +38,13 @@ def main(argv=None):
     ap.add_argument("--prior-idepth", type=float, default=0.25,
                     help="inverse-depth prior = the global scale gauge")
     ap.add_argument("--loop-close", action="store_true",
-                    help="attempt a Sim3 loop closure between the last "
-                         "keyframe and keyframe 0 at the end of the run")
+                    help="live BoW loop detection (per new keyframe) + Sim3 "
+                         "closure, plus a final last-vs-first check")
+    ap.add_argument("--loop-score-thr", type=float, default=None,
+                    help="BoW acceptance score (default: the reference "
+                         "operating point 2.0; needs a ~20+ keyframe index)")
+    ap.add_argument("--vocabulary",
+                    help=".npz vocabulary from create_dictionary")
     args = ap.parse_args(argv)
 
     from scavislam_tpu.core.camera import StereoCamera
@@ -76,6 +81,29 @@ def main(argv=None):
         frames = iter(grab)
 
     fe = MonoFrontend(cam, cfg, prior_idepth=args.prior_idepth)
+    detector = None
+    loops_closed = []
+    if args.loop_close:
+        from scavislam_tpu.models import mono_loop
+
+        vocab = None
+        if args.vocabulary:
+            vocab = np.load(args.vocabulary)["vocab"]
+        detector = mono_loop.make_mono_place_recognizer(
+            fe, vocab, score_thr=args.loop_score_thr)
+
+    def index_keyframe(kf_id, img):
+        det = mono_loop.add_keyframe_to_recognizer(detector, fe, kf_id, img)
+        if det is not None:
+            scales = mono_loop.close_loop_sim3(
+                fe, det.query_id, det.loop_id, det.S_query_from_loop)
+            loops_closed.append({
+                "query": det.query_id, "loop": det.loop_id,
+                "inliers": det.inliers,
+                "scale": round(float(det.S_query_from_loop.s), 4),
+                "regauge": round(scales[det.query_id], 4),
+            })
+
     t0 = time.perf_counter()
     n = 0
     for frame in frames:
@@ -85,28 +113,36 @@ def main(argv=None):
             gt_poses.append(frame["T_cw_gt"])
         if n == 0:
             fe.process_first_frame(frame)
+            if detector is not None:
+                index_keyframe(fe.actkey_id, frame["left"])
         else:
-            ok, _dropped = fe.process_frame(frame)
+            ok, dropped = fe.process_frame(frame)
             if not ok:
                 print(f"mono tracking FAILED at frame {n}", file=sys.stderr)
                 break
+            if dropped and detector is not None:
+                index_keyframe(fe.actkey_id, frame["left"])
         n += 1
     wall = time.perf_counter() - t0
 
     loop_report = None
-    if args.loop_close and fe.next_kf >= 2:
-        from scavislam_tpu.models import mono_loop
+    if detector is not None:
+        loop_report = {"closed": loops_closed}
+        if not loops_closed and fe.next_kf >= 2:
+            # final check: last keyframe vs the first (useful on short runs
+            # whose index never reaches the live operating point)
+            from scavislam_tpu.models import mono_loop
 
-        kf_last = max(fe.pose_np)
-        S, n_inl = mono_loop.estimate_sim3(fe, kf_last, 0)
-        if S is not None:
-            scales = mono_loop.close_loop_sim3(fe, kf_last, 0, S)
-            loop_report = {"inliers": n_inl,
-                           "scale": round(float(S.s), 4),
-                           "regauge": {k: round(v, 4)
-                                       for k, v in scales.items()}}
-        else:
-            loop_report = {"inliers": n_inl, "accepted": False}
+            kf_last = max(fe.pose_np)
+            S, n_inl = mono_loop.estimate_sim3(fe, kf_last, 0)
+            if S is not None:
+                scales = mono_loop.close_loop_sim3(fe, kf_last, 0, S)
+                loop_report["final_check"] = {
+                    "inliers": n_inl, "scale": round(float(S.s), 4),
+                    "regauge": round(scales[kf_last], 4)}
+            else:
+                loop_report["final_check"] = {"inliers": n_inl,
+                                              "accepted": False}
 
     summary = {
         "frames": n,

@@ -239,3 +239,63 @@ def _regauge_psi(psi, s_per_point):
     return psi * jnp.stack(
         [jnp.ones_like(s_per_point), jnp.ones_like(s_per_point),
          s_per_point], axis=-1)
+
+
+# --------------------------------------------------------------------- #
+# automatic loop DETECTION for mono: BoW retrieval + Sim3 verification
+# --------------------------------------------------------------------- #
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class MonoDetectedLoop:
+    """The mono analogue of DetectedLoop: the constraint is a Sim3 (scale
+    dof included), not an SE3."""
+
+    query_id: int
+    loop_id: int
+    S_query_from_loop: Sim3
+    inliers: int
+
+
+def make_mono_place_recognizer(fe, vocabulary=None, score_thr=None,
+                               min_inliers: int = 12):
+    """BoW loop detection for the mono frontend: the stereo PlaceRecognizer's
+    retrieval path (corner descriptors -> word quantization -> TF-IDF over
+    the inverted index with covis exclusion, placerecognizer.cpp:130-172,
+    249-298) indexes keyframe images WITHOUT depth (describe(disp=None));
+    the geometric check is the mono Sim3 verification over the keyframes'
+    FILTERED maps (estimate_sim3) instead of the 3-point SE3 check — mono
+    loop constraints need the scale dof.
+
+    Returns a PlaceRecognizer subclass instance; feed it
+    ``add_location({"kf_id": k, "img": level0_image, "disp": None,
+    "exclude": covis_ids})`` per keyframe and consume detected loops from
+    its monitor or the return value, then apply close_loop_sim3."""
+    from scavislam_tpu.models.placerec import SCORE_THR, PlaceRecognizer
+
+    class _MonoPlaceRecognizer(PlaceRecognizer):
+        def _geometric_check(self, query, cand):
+            S, n_inl = estimate_sim3(self.fe, query.kf_id, cand.kf_id,
+                                     min_inliers=self.min_inliers)
+            if S is None:
+                return None
+            return MonoDetectedLoop(query.kf_id, cand.kf_id, S, n_inl)
+
+    pr = _MonoPlaceRecognizer(
+        fe.cam, vocabulary,
+        score_thr=SCORE_THR if score_thr is None else score_thr,
+        min_inliers=min_inliers,
+    )
+    pr.fe = fe
+    return pr
+
+
+def add_keyframe_to_recognizer(pr, fe, kf_id: int, img):
+    """Index a mono keyframe and return a MonoDetectedLoop if retrieval +
+    Sim3 verification fire (excludes the keyframe's covisible neighborhood,
+    like the reference's exclude_set, placerecognizer.cpp:249-298)."""
+    exclude = set(fe.covis.get(kf_id, {})) | {kf_id}
+    return pr.add_location(
+        {"kf_id": kf_id, "img": img, "disp": None, "exclude": exclude})

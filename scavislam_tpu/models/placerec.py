@@ -115,17 +115,26 @@ class PlaceRecognizer:
     # ------------------------------------------------------------------ #
     def describe(self, img: jnp.ndarray, disp: jnp.ndarray):
         """Detect + describe keypoints that carry disparity
-        (parity: placerecognizer.cpp:222-246)."""
+        (parity: placerecognizer.cpp:222-246).
+
+        disp=None selects the MONOCULAR path (trace-time branch): no depth
+        gating, zero xyz — retrieval-only places whose geometric check is
+        delegated to the mono Sim3 machinery (models.mono_loop)."""
         uv, score, valid = detect_corners_grid(
             img, threshold=8.0 / 255.0, cells_y=8, cells_x=8,
             per_cell=MAX_KEYPOINTS // 64,
         )
-        d, dok = nearest_sample(disp, uv)
-        valid = valid & dok & (d > 0.5)
+        if disp is None:
+            d = jnp.zeros_like(uv[:, 0])
+        else:
+            d, dok = nearest_sample(disp, uv)
+            valid = valid & dok & (d > 0.5)
         dx, dy = sobel_xy(img)
         desc, desc_ok = compute_descriptors(dx, dy, uv)
         valid = valid & desc_ok
-        xyz = self.cam.uv_disp_to_xyz(uv[:, 0], uv[:, 1], jnp.maximum(d, 0.5))
+        xyz = (jnp.zeros((uv.shape[0], 3), jnp.float32) if disp is None
+               else self.cam.uv_disp_to_xyz(uv[:, 0], uv[:, 1],
+                                            jnp.maximum(d, 0.5)))
         words = jnp.argmax(
             jnp.einsum("nd,kd->nk", desc, self.vocab,
                        preferred_element_type=jnp.float32),

@@ -166,6 +166,21 @@ class TestMonoVo:
             ok, _ = fe.process_frame(seq.frame(i))
             assert ok
 
+        # (a0) automatic detection: BoW retrieval (describe(disp=None) ->
+        # TF-IDF) + Sim3 verification fires on the revisit pair. The 2.0
+        # operating threshold needs a realistically-sized index (~20+
+        # locations, see RESULTS.md) — a 2-location index sits below it by
+        # construction, so the unit test lowers it; retrieval ORDER is what
+        # is checked here
+        pr = mono_loop.make_mono_place_recognizer(fe, score_thr=0.05,
+                                                  min_inliers=10)
+        assert pr.add_location({"kf_id": 0, "img": seq.frame(0)["left"],
+                                "disp": None, "exclude": {0}}) is None
+        det = pr.add_location({"kf_id": kf1, "img": seq.frame(7)["left"],
+                               "disp": None, "exclude": {kf1}})
+        assert det is not None and det.loop_id == 0, det
+        assert abs(float(det.S_query_from_loop.s) - 1.0) < 0.08
+
         # (a) consistent maps: Sim3 at s~1, relative pose ~ VO estimate
         S, n_inl = mono_loop.estimate_sim3(fe, kf1, 0, min_inliers=10)
         assert S is not None and n_inl >= 10, n_inl
@@ -222,6 +237,32 @@ class TestMonoVo:
                                    rtol=1e-5)
         # the tracking chain was rebased and stays finite
         assert np.isfinite(fe._t_cw).all() and np.isfinite(fe._R_cw).all()
+
+    def test_cli_end_to_end(self, tmp_path):
+        """apps/mono_vo plumbing: run, exports, summary fields (camera
+        matches the rest of this file so every program is already
+        compiled)."""
+        from scavislam_tpu.apps import mono_vo
+
+        cfg = tmp_path / "mono.cfg"
+        cfg.write_text(
+            "cam.width = 128;\ncam.height = 96;\ncam.f = 130.0;\n"
+            "cam.px = 63.5;\ncam.py = 47.5;\ncam.baseline = 0.12;\n")
+        out = mono_vo.main([
+            str(cfg), "--synthetic", "10", "--synthetic-step", "0.035",
+            "--out", str(tmp_path / "traj.txt"),
+            "--viz", str(tmp_path / "mono.png"),
+            "--viz-html", str(tmp_path / "mono3d.html"),
+            "--loop-close",
+        ])
+        assert out["frames"] == 10
+        assert out["keyframes"] >= 1
+        assert out["converged_points"] > 50
+        assert out["ate_sim3_m"] < 0.05
+        for f in ("traj.txt", "mono.png", "mono3d.html"):
+            assert (tmp_path / f).exists(), f
+        rows = np.loadtxt(tmp_path / "traj.txt")
+        assert rows.shape == (10, 8)
 
     def test_keyframes_and_covisibility(self):
         import dataclasses

@@ -45,6 +45,10 @@ def main(argv=None):
                          "operating point 2.0; needs a ~20+ keyframe index)")
     ap.add_argument("--vocabulary",
                     help=".npz vocabulary from create_dictionary")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="overlapped frame loop (packed fetches resolve in "
+                         "helper threads; policy lags pipeline depth)")
+    ap.add_argument("--pipeline-depth", type=int, default=None)
     args = ap.parse_args(argv)
 
     from scavislam_tpu.core.camera import StereoCamera
@@ -81,6 +85,8 @@ def main(argv=None):
         frames = iter(grab)
 
     fe = MonoFrontend(cam, cfg, prior_idepth=args.prior_idepth)
+    if args.pipeline_depth:
+        fe.pipeline_depth = args.pipeline_depth
     detector = None
     loops_closed = []
     if args.loop_close:
@@ -115,6 +121,16 @@ def main(argv=None):
             fe.process_first_frame(frame)
             if detector is not None:
                 index_keyframe(fe.actkey_id, frame["left"])
+        elif args.pipelined:
+            r = fe.process_frame_pipelined(frame)
+            if r is not None:
+                ok, dropped, _fid = r
+                if not ok:
+                    print(f"mono tracking FAILED near frame {n}",
+                          file=sys.stderr)
+                    break
+                if dropped and detector is not None:
+                    index_keyframe(fe.actkey_id, fe.last_kf_img)
         else:
             ok, dropped = fe.process_frame(frame)
             if not ok:
@@ -123,6 +139,10 @@ def main(argv=None):
             if dropped and detector is not None:
                 index_keyframe(fe.actkey_id, frame["left"])
         n += 1
+    if args.pipelined:
+        for ok, dropped, _fid in fe.flush_pipeline():
+            if dropped and detector is not None:
+                index_keyframe(fe.actkey_id, fe.last_kf_img)
     wall = time.perf_counter() - t0
 
     loop_report = None

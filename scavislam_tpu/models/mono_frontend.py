@@ -20,6 +20,9 @@ Differences from the stereo frontend, by necessity of the sensor:
 
 from __future__ import annotations
 
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -92,6 +95,17 @@ class MonoFrontend:
         self._tracked_ids = np.zeros(0, np.int64)
         self._tracked_uv = np.zeros((0, 2), np.float32)
         self.last_lam_qq = np.zeros(0, np.float32)
+
+        # pipelined mode (the mono analogue of the stereo frontend's
+        # overlapped loop): the packed fetch — one full link round-trip on a
+        # remote chip — resolves in a helper thread while later frames'
+        # device programs run; policy lags `pipeline_depth` frames. The
+        # device pose chain (_dev_R_cw) advances without the host.
+        self.pipeline_depth = 2
+        self._pending = deque()
+        self._kf_epoch = 0
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="mono-packed-fetch")
 
     # -- helpers ----------------------------------------------------------- #
     def _world_pose(self) -> PoseRT:
@@ -170,13 +184,45 @@ class MonoFrontend:
         self.trajectory.append((self.frame_id, self._world_pose()))
 
     def process_frame(self, frame: dict):
-        """Track one frame. Returns (success, dropped_new_keyframe)."""
+        """Track one frame synchronously. Returns (success, dropped)."""
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
+        return self._consume(self.frame_id, cand_ids, out,
+                             np.asarray(out.packed), self._kf_epoch)
 
+    def process_frame_pipelined(self, frame: dict):
+        """Dispatch this frame; consume the one dispatched `pipeline_depth`
+        frames ago (its packed fetch has been resolving in a helper thread
+        while the in-flight frames' device programs ran). Returns
+        (success, dropped, consumed_frame_id) or None while filling."""
+        self.frame_id = frame.get("frame_id", self.frame_id + 1)
+        cand_ids = self._collect_candidates()
+        out = self._run_step(frame, cand_ids)
+        fut = self._fetch_pool.submit(np.asarray, out.packed)
+        self._pending.append(
+            (self.frame_id, cand_ids, out, fut, self._kf_epoch))
+        if len(self._pending) <= max(1, self.pipeline_depth):
+            return None
+        fid, cand_ids, out, fut, epoch = self._pending.popleft()
+        ok, dropped = self._consume(fid, cand_ids, out, fut.result(), epoch)
+        return ok, dropped, fid
+
+    def flush_pipeline(self):
+        """Consume all in-flight frames (end of sequence)."""
+        results = []
+        while self._pending:
+            fid, cand_ids, out, fut, epoch = self._pending.popleft()
+            ok, dropped = self._consume(fid, cand_ids, out, fut.result(),
+                                        epoch)
+            results.append((ok, dropped, fid))
+            if not ok:
+                self._pending.clear()
+                break
+        return results
+
+    def _consume(self, frame_id, cand_ids, out, pk, epoch):
         C = CAND_CAP
-        pk = np.asarray(out.packed)  # the ONE host fetch
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
         n_matched, n_gated, n_conv, t_norm, mean_track_len = pk[24:29]
@@ -186,16 +232,21 @@ class MonoFrontend:
         self.last_lam_qq = pk[34 + 4 * C: 34 + 5 * C]
 
         if int(n_gated) < MIN_TRACK_OBS or not np.isfinite(t_cw).all():
+            if epoch != self._kf_epoch:
+                # stale-epoch frame (dispatched before the latest keyframe
+                # spawn): transient skip, not a tracking loss — same guard
+                # as the stereo frontend's keyframe-epoch rule
+                return True, False
             return False, False
         self._R_cw, self._t_cw = R_cw.astype(np.float32), t_cw.astype(
             np.float32)
         self._tracked_ids = cand_ids[gate]
         self._tracked_uv = obs_uv[gate]
-        self.trajectory.append((self.frame_id, self._world_pose()))
+        self.trajectory.append((frame_id, self._world_pose()))
 
         dropped = False
-        if self._shall_drop_keyframe(quad_counts, float(t_norm),
-                                     float(mean_track_len)):
+        if epoch == self._kf_epoch and self._shall_drop_keyframe(
+                quad_counts, float(t_norm), float(mean_track_len)):
             self._add_new_keyframe(out)
             dropped = True
         return True, dropped
@@ -261,6 +312,11 @@ class MonoFrontend:
         self._cand_np = None
 
     def _add_new_keyframe(self, out):
+        self._kf_epoch += 1
+        # device reference to the keyframe's level-0 image: loop-detection
+        # indexing happens later (in pipelined mode the spawn frame is
+        # pipeline_depth frames behind the frame the caller holds)
+        self.last_kf_img = out.pyr[0]
         kf_id = self._new_keyframe_id()
         T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
         self.poses = self.poses.set(kf_id, T_cw)

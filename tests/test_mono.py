@@ -238,6 +238,37 @@ class TestMonoVo:
         # the tracking chain was rebased and stays finite
         assert np.isfinite(fe._t_cw).all() and np.isfinite(fe._R_cw).all()
 
+    def test_pipelined_matches_sync(self):
+        """Pipelined mono loop (overlapped packed fetches): same sequence
+        through both paths — every consumed frame succeeds and the
+        Sim3-aligned ATE stays in the sync path's band (keyframe decisions
+        lag `pipeline_depth` frames by design, so bit-equality is not the
+        contract; the stereo frontend documents the same)."""
+        from scavislam_tpu.models.mono_frontend import MonoFrontend
+
+        n = 12
+        seq = SyntheticSequence(CAM, n_frames=n, kind="forward_arc",
+                                step=0.035)
+        gt = [seq.frame(i)["T_cw_gt"] for i in range(n)]
+
+        fe_s = MonoFrontend(CAM)
+        fe_s.process_first_frame(seq.frame(0))
+        for i in range(1, n):
+            ok, _ = fe_s.process_frame(seq.frame(i))
+            assert ok
+
+        fe_p = MonoFrontend(CAM)
+        fe_p.process_first_frame(seq.frame(0))
+        for i in range(1, n):
+            r = fe_p.process_frame_pipelined(seq.frame(i))
+            assert r is None or r[0], f"pipelined failed at {i}"
+        for ok, _d, _f in fe_p.flush_pipeline():
+            assert ok
+        assert len(fe_p.trajectory) == len(fe_s.trajectory)
+        ate_s = ate_rmse_aligned(fe_s.trajectory, gt)
+        ate_p = ate_rmse_aligned(fe_p.trajectory, gt)
+        assert ate_p < max(2.0 * ate_s, 0.02), (ate_s, ate_p)
+
     def test_cli_end_to_end(self, tmp_path):
         """apps/mono_vo plumbing: run, exports, summary fields (camera
         matches the rest of this file so every program is already

@@ -45,6 +45,10 @@ def main(argv=None):
                          "operating point 2.0; needs a ~20+ keyframe index)")
     ap.add_argument("--vocabulary",
                     help=".npz vocabulary from create_dictionary")
+    ap.add_argument("--window-ba", action="store_true",
+                    help="joint pose+structure window BA at every new "
+                         "keyframe (anchored uv factors through the DWO "
+                         "Schur solver)")
     ap.add_argument("--pipelined", action="store_true",
                     help="overlapped frame loop (packed fetches resolve in "
                          "helper threads; policy lags pipeline depth)")
@@ -98,6 +102,12 @@ def main(argv=None):
         detector = mono_loop.make_mono_place_recognizer(
             fe, vocab, score_thr=args.loop_score_thr)
 
+    def on_keyframe(kf_id, img):
+        if args.window_ba:
+            fe.window_ba()
+        if detector is not None:
+            index_keyframe(kf_id, img)
+
     def index_keyframe(kf_id, img):
         det = mono_loop.add_keyframe_to_recognizer(detector, fe, kf_id, img)
         if det is not None:
@@ -129,20 +139,20 @@ def main(argv=None):
                     print(f"mono tracking FAILED near frame {n}",
                           file=sys.stderr)
                     break
-                if dropped and detector is not None:
-                    index_keyframe(fe.actkey_id, fe.last_kf_img)
+                if dropped:
+                    on_keyframe(fe.actkey_id, fe.last_kf_img)
         else:
             ok, dropped = fe.process_frame(frame)
             if not ok:
                 print(f"mono tracking FAILED at frame {n}", file=sys.stderr)
                 break
-            if dropped and detector is not None:
-                index_keyframe(fe.actkey_id, frame["left"])
+            if dropped:
+                on_keyframe(fe.actkey_id, frame["left"])
         n += 1
     if args.pipelined:
         for ok, dropped, _fid in fe.flush_pipeline():
-            if dropped and detector is not None:
-                index_keyframe(fe.actkey_id, fe.last_kf_img)
+            if dropped:
+                on_keyframe(fe.actkey_id, fe.last_kf_img)
     wall = time.perf_counter() - t0
 
     loop_report = None

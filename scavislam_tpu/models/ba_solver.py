@@ -177,12 +177,24 @@ def _huber_weight(s, delta):
     return jnp.where(s <= delta * delta, 1.0, delta / jnp.sqrt(jnp.maximum(s, 1e-12)))
 
 
-def _chi2(cam_params, prob, R, t, psi, huber, sp_axis=None):
+def _disp_info_vec(prob, disp_info):
+    """Third-component (right-u) information per obs: the stereo default is
+    the reference's 0.333^2 (slam_graph.cpp:1009-1013); MONO problems pass a
+    zero vector — uv-only observations through the SAME solver (the
+    reference's mono scaffold instantiates its graph with ObsDim=2,
+    slam_graph-impl.cpp:128-249; zero-weighting the third row is exactly
+    that, with no second program variant)."""
+    if disp_info is None:
+        return jnp.full_like(prob.obs_weight, _DISP_INFO)
+    return disp_info
+
+
+def _chi2(cam_params, prob, R, t, psi, huber, sp_axis=None, disp_info=None):
     r, mask, _ = _obs_residuals(cam_params, prob, R, t, psi)
     # per-component info: (w_l, w_l, 0.333^2) with w_l = obs_weight = 4^-level
     info = jnp.stack(
         [prob.obs_weight, prob.obs_weight,
-         jnp.full_like(prob.obs_weight, _DISP_INFO)], axis=-1)
+         _disp_info_vec(prob, disp_info)], axis=-1)
     s = jnp.sum(r * r * info, axis=-1)
     w = _huber_weight(s, huber)
     chi_obs = jnp.sum(jnp.where(mask, w * s, 0.0))
@@ -198,7 +210,7 @@ def _chi2(cam_params, prob, R, t, psi, huber, sp_axis=None):
 
 
 def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber,
-                            sp_axis=None, anchor_perm=None):
+                            sp_axis=None, anchor_perm=None, disp_info=None):
     """One linearization: dense block H_cc, W, H_pp, gradients.
 
     With `sp_axis`, the observation arrays in `prob` are the LOCAL shard of a
@@ -248,7 +260,7 @@ def _build_normal_equations(cam_params, prob: BAProblem, R, t, psi, huber,
     # --- robust info weights: diag(w_l, w_l, 0.333^2) scaled by Huber
     info = jnp.stack(
         [prob.obs_weight, prob.obs_weight,
-         jnp.full_like(prob.obs_weight, _DISP_INFO)], axis=-1)
+         _disp_info_vec(prob, disp_info)], axis=-1)
     s = jnp.sum(r * r * info, axis=-1)
     w = _huber_weight(s, huber) * mask
     Winfo = w[:, None] * info  # (O, 3) diagonal info per obs
@@ -382,6 +394,8 @@ def solve_ba(
     lambda0: float = 50.0,
     sp_axis=None,  # mesh axis name when obs are sharded (see parallel/)
     anchor_perm=None,  # sorted-scatter fast path (see _build_normal_equations)
+    disp_info=None,  # (O,) third-component info; None = stereo 0.333^2,
+    # zeros = MONO uv-only observations (slam_graph-impl.cpp:128-249 analog)
 ):
     """LM with `iters` accepted-or-rejected rounds (g2o parity:
     OptParams(2 iters, Huber 3), lambda0 = 50). Returns
@@ -391,13 +405,15 @@ def solve_ba(
     R, t, psi = prob.R, prob.t, prob.psi
     lam = jnp.float32(lambda0)
 
-    chi2_0 = _chi2(cam_params, prob, R, t, psi, huber, sp_axis)
+    chi2_0 = _chi2(cam_params, prob, R, t, psi, huber, sp_axis,
+                   disp_info)
     free = (prob.pose_valid & ~prob.pose_fixed).astype(jnp.float32)
 
     def lm_round(carry, _):
         R, t, psi, lam, chi2 = carry
         Hcc, Wcp, Hpp, g_c, g_p = _build_normal_equations(
-            cam_params, prob, R, t, psi, huber, sp_axis, anchor_perm
+            cam_params, prob, R, t, psi, huber, sp_axis, anchor_perm,
+            disp_info,
         )
         # damp
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=Hpp.dtype)[None]
@@ -437,7 +453,7 @@ def solve_ba(
         T_new = SE3.exp(dc) @ SE3(R, t)
         psi_new = psi + dp
         chi2_new = _chi2(cam_params, prob, T_new.R, T_new.t, psi_new, huber,
-                         sp_axis)
+                         sp_axis, disp_info)
         accept = chi2_new < chi2
         R_n = jnp.where(accept, T_new.R, R)
         t_n = jnp.where(accept, T_new.t, t)

@@ -45,6 +45,21 @@ TRACKED_CAP = 512
 MIN_TRACK_OBS = 15
 
 
+from functools import partial  # noqa: E402
+
+import jax  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _solve_mono_window(cam_params, prob, iters):
+    """Jitted mono window solve: the stereo DWO Schur solver with the
+    disparity residual row zero-weighted (uv-only observations)."""
+    from scavislam_tpu.models.ba_solver import solve_ba
+
+    return solve_ba(cam_params, prob, iters=iters,
+                    disp_info=jnp.zeros_like(prob.obs_weight))
+
+
 class MonoTrackingFailure(Exception):
     pass
 
@@ -77,6 +92,10 @@ class MonoFrontend:
         self.next_kf = 0
         self.next_point = 0
         self.kf_point_ids: dict[int, np.ndarray] = {}
+        # per-keyframe observations for the mono window BA: point ids + the
+        # level-0 uv each point was (re-)observed at when the keyframe was
+        # created (tracked survivors) or spawned (anchor observations)
+        self.kf_obs: dict[int, tuple] = {}
         self.covis: dict[int, dict[int, int]] = {}
         self.pose_np: dict[int, tuple] = {}
         self.actkey_id = -1
@@ -297,10 +316,12 @@ class MonoFrontend:
             float(self.cfg.frontend.newpoint_clearance),
         )
         pk = np.asarray(payloads)
-        all_ids = []
+        all_ids, all_uv = [], []
         off = 0
         for l, cap in enumerate(caps):
-            off += cap * 3 + cap * 2  # psi + uv0
+            off += cap * 3  # psi
+            uv0 = pk[off: off + cap * 2].reshape(cap, 2)
+            off += cap * 2
             ok = pk[off: off + cap] > 0.5
             off += cap
             ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)
@@ -308,8 +329,19 @@ class MonoFrontend:
             self._meta_level[ids] = l
             self._meta_anchor[ids[~ok]] = -1
             all_ids.append(ids[ok])
+            all_uv.append(uv0[ok])
         self.kf_point_ids[kf_id] = np.concatenate(all_ids)
+        # anchor observations (each new point seen at uv0 in its keyframe)
+        self._append_obs(kf_id, np.concatenate(all_ids),
+                         np.concatenate(all_uv).astype(np.float32))
         self._cand_np = None
+
+    def _append_obs(self, kf_id, ids, uv):
+        prev = self.kf_obs.get(kf_id)
+        if prev is not None:
+            ids = np.concatenate([prev[0], ids])
+            uv = np.concatenate([prev[1], uv])
+        self.kf_obs[kf_id] = (ids, uv)
 
     def _add_new_keyframe(self, out):
         self._kf_epoch += 1
@@ -332,6 +364,10 @@ class MonoFrontend:
         for a, s in strengths.items():
             self.covis.setdefault(a, {})[kf_id] = s
 
+        # tracked survivors are OBSERVATIONS of this keyframe (window BA
+        # links the new pose to the older anchors through them)
+        self._append_obs(kf_id, self._tracked_ids.copy(),
+                         self._tracked_uv.copy().astype(np.float32))
         # tracked points that survive into this keyframe stay candidates;
         # new candidates fill uncovered cells
         self._spawn(out.pyr, kf_id, self._tracked_uv)
@@ -341,3 +377,132 @@ class MonoFrontend:
             [self.kf_point_ids[kf_id], self._tracked_ids])
         self.actkey_id = kf_id
         self._cand_np = None
+
+    # -- mono window BA ------------------------------------------------------ #
+    # static problem caps: a dedicated SMALL shape (the stereo DWO's
+    # 128/2048/8192 problem would compile a far larger program for the mono
+    # window's ~5 poses)
+    BA_CAPS = (8, 1024, 3072)
+
+    def window_ba(self, window: int = 5, iters: int = 4):
+        """Joint pose+structure refinement over the last `window` keyframes:
+        anchored inverse-depth ternary factors with uv-only observations
+        through the SAME Schur solver as the stereo DWO (ba_solver with the
+        third residual component zero-weighted — the reference's mono
+        scaffold instantiates its graph with ObsDim=2,
+        slam_graph-impl.cpp:128-249). The oldest window pose is the gauge.
+
+        Returns (chi2_initial, chi2_final) or None if the window is
+        degenerate (<2 keyframes or no cross-keyframe observations)."""
+        import jax
+
+        from scavislam_tpu.models.ba_solver import BAProblem
+        from scavislam_tpu.models.map_store import scatter_psi
+
+        kf_ids = sorted(self.pose_np.keys())[-window:]
+        if len(kf_ids) < 2:
+            return None
+        P_cap, L_cap, O_cap = self.BA_CAPS
+        slot = {k: i for i, k in enumerate(kf_ids)}
+
+        # points anchored in the window AND observed by >= 2 window kfs
+        counts: dict[int, int] = {}
+        for k in kf_ids:
+            ids, _uv = self.kf_obs.get(k, (np.zeros(0, np.int64), None))
+            for pid in ids:
+                counts[int(pid)] = counts.get(int(pid), 0) + 1
+        pts = [p for p, c in sorted(counts.items())
+               if c >= 2 and self._meta_anchor[p] in slot][:L_cap]
+        if not pts:
+            return None
+        lidx = {p: i for i, p in enumerate(pts)}
+
+        prob = BAProblem.empty(P_cap, L_cap, O_cap, 1)
+        Rs = np.zeros((P_cap, 3, 3), np.float32)
+        Rs[:] = np.eye(3)
+        ts = np.zeros((P_cap, 3), np.float32)
+        pv = np.zeros(P_cap, bool)
+        pf = np.zeros(P_cap, bool)
+        for k, i in slot.items():
+            Rs[i], ts[i] = self.pose_np[k]
+            pv[i] = True
+        pf[0] = True  # gauge: the oldest window keyframe
+
+        psi0 = np.asarray(self.points.psi)[pts].astype(np.float32)
+        anchor = np.array(
+            [slot[int(self._meta_anchor[p])] for p in pts], np.int32)
+        psi_pad = np.zeros((L_cap, 3), np.float32)
+        psi_pad[: len(pts)] = psi0
+        anch_pad = np.zeros(L_cap, np.int32)
+        anch_pad[: len(pts)] = anchor
+        lval = np.zeros(L_cap, bool)
+        lval[: len(pts)] = True
+
+        o_pose, o_point, o_uv, o_w = [], [], [], []
+        for k in kf_ids:
+            ids, uv = self.kf_obs.get(k, (np.zeros(0, np.int64), None))
+            for pid, xy in zip(ids, uv):
+                li = lidx.get(int(pid))
+                if li is None:
+                    continue
+                o_pose.append(slot[k])
+                o_point.append(li)
+                o_uv.append(xy)
+                o_w.append(0.25 ** float(self._meta_level[int(pid)]))
+        n_obs = min(len(o_pose), O_cap)
+        if n_obs < 8:
+            return None
+        op = np.zeros(O_cap, np.int32)
+        opt = np.zeros(O_cap, np.int32)
+        ouv = np.zeros((O_cap, 3), np.float32)
+        ow = np.ones(O_cap, np.float32)
+        ov = np.zeros(O_cap, bool)
+        op[:n_obs] = o_pose[:n_obs]
+        opt[:n_obs] = o_point[:n_obs]
+        ouv[:n_obs, :2] = np.asarray(o_uv[:n_obs], np.float32)
+        ow[:n_obs] = o_w[:n_obs]
+        ov[:n_obs] = True
+
+        prob = prob._replace(
+            R=jnp.asarray(Rs), t=jnp.asarray(ts),
+            pose_valid=jnp.asarray(pv), pose_fixed=jnp.asarray(pf),
+            psi=jnp.asarray(psi_pad), anchor_slot=jnp.asarray(anch_pad),
+            point_valid=jnp.asarray(lval),
+            obs_pose=jnp.asarray(op), obs_point=jnp.asarray(opt),
+            obs_uvu=jnp.asarray(ouv), obs_weight=jnp.asarray(ow),
+            obs_valid=jnp.asarray(ov),
+        )
+        cam0 = self.cams[0]
+        R_out, t_out, psi_out, stats = _solve_mono_window(
+            (cam0.focal, cam0.pp[0], cam0.pp[1], cam0.baseline), prob,
+            iters)
+
+        # write back: poses (numpy mirrors + device table) and psi
+        R_np = np.asarray(R_out)
+        t_np = np.asarray(t_out)
+        kidx = np.asarray([k for k in kf_ids], np.int32)
+        sidx = np.asarray([slot[k] for k in kf_ids], np.int32)
+        self.poses = self.poses.set_many(
+            jnp.asarray(kidx), jnp.asarray(R_np[sidx]),
+            jnp.asarray(t_np[sidx]))
+        # rebase the tracking chain through the actkey correction before
+        # overwriting the mirrors (T_cw = T_c_ak @ T_akw_new)
+        if self.actkey_id in slot:
+            Rk_old, tk_old = self.pose_np[self.actkey_id]
+            R_cak = self._R_cw @ Rk_old.T
+            t_cak = self._t_cw - R_cak @ tk_old
+            Rk_new = R_np[slot[self.actkey_id]]
+            tk_new = t_np[slot[self.actkey_id]]
+            self._R_cw = (R_cak @ Rk_new).astype(np.float32)
+            self._t_cw = (R_cak @ tk_new + t_cak).astype(np.float32)
+            self._dev_R_cw = None
+            self._dev_t_cw = None
+        for k in kf_ids:
+            i = slot[k]
+            self.pose_np[k] = (R_np[i].astype(np.float32),
+                               t_np[i].astype(np.float32))
+        pids = np.full(L_cap, MAX_POINTS, np.int64)
+        pids[: len(pts)] = pts
+        self.points = self.points._replace(
+            psi=scatter_psi(self.points.psi, jnp.asarray(pids), psi_out))
+        return float(stats.chi2_initial), float(stats.chi2_final)

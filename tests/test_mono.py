@@ -238,6 +238,48 @@ class TestMonoVo:
         # the tracking chain was rebased and stays finite
         assert np.isfinite(fe._t_cw).all() and np.isfinite(fe._R_cw).all()
 
+    def test_window_ba_refines(self):
+        """Mono window BA: anchored uv ternary factors through the SAME
+        Schur solver as the stereo DWO (third residual row zero-weighted —
+        ba_solver disp_info; the mono ObsDim=2 instantiation of
+        slam_graph-impl.cpp:128-249). chi2 must drop, the gauge keyframe
+        must not move, and the Sim3-aligned ATE must stay in band after an
+        injected pose perturbation is optimized back."""
+        import dataclasses
+
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.3))
+        n = 16
+        fe, gt, _ = run_mono(n, cfg=cfg)
+        assert fe.next_kf >= 2
+        kf_ids = sorted(fe.pose_np.keys())[-5:]
+
+        # perturb the newest keyframe pose: window BA must pull it back
+        k_last = kf_ids[-1]
+        R_l, t_l = fe.pose_np[k_last]
+        t_bad = (t_l + np.array([0.03, -0.02, 0.04], np.float32))
+        fe.pose_np[k_last] = (R_l, t_bad)
+        fe.poses = fe.poses.set(
+            k_last, SE3(jnp.asarray(R_l), jnp.asarray(t_bad)))
+
+        gauge_before = tuple(map(np.copy, fe.pose_np[kf_ids[0]]))
+        out = fe.window_ba(window=5, iters=4)
+        assert out is not None
+        chi2_0, chi2_1 = out
+        assert chi2_1 < chi2_0 * 0.5, (chi2_0, chi2_1)
+        # gauge pose untouched
+        np.testing.assert_array_equal(fe.pose_np[kf_ids[0]][0],
+                                      gauge_before[0])
+        np.testing.assert_array_equal(fe.pose_np[kf_ids[0]][1],
+                                      gauge_before[1])
+        # the perturbed pose moved back toward its pre-perturbation value
+        t_opt = fe.pose_np[k_last][1]
+        assert (np.linalg.norm(t_opt - t_l)
+                < 0.5 * np.linalg.norm(t_bad - t_l)), (t_l, t_bad, t_opt)
+
     def test_pipelined_matches_sync(self):
         """Pipelined mono loop (overlapped packed fetches): same sequence
         through both paths — every consumed frame succeeds and the

@@ -7,6 +7,7 @@ this file (each distinct shape is its own multi-second XLA compile).
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from scavislam_tpu.core.camera import StereoCamera
@@ -127,6 +128,7 @@ class TestMonoVo:
         # both align to GT equally well
         assert ate_rmse_aligned(fe_b.trajectory, gt) < 0.05
 
+    @pytest.mark.slow
     def test_loop_closure_sim3(self):
         """Mono loop closure end-to-end on real filtered maps: two
         keyframes spawned INDEPENDENTLY over the same scene (no clearance —
@@ -137,8 +139,6 @@ class TestMonoVo:
         close_loop_sim3 redistributes the drift and re-gauges the anchored
         depths (the reference's MONO Sim3 machinery, ransac_models.cpp:
         85-136 + anchored_points.h:180-218, driven end-to-end)."""
-        import jax.numpy as jnp
-
         from scavislam_tpu.models import mono_loop
         from scavislam_tpu.models.map_store import MAX_POINTS
         from scavislam_tpu.models.mono_frontend import MonoFrontend

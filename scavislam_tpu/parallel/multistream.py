@@ -266,3 +266,42 @@ def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def build_multistream_mono(mesh, cam_params, cam_statics, levels=3,
+                           zmssd_thr=0.18):
+    """The fused per-frame MONOCULAR step (models.mono_step) vmapped over a
+    stream batch and shard_mapped over the mesh's "dp" axis — the mono
+    analogue of build_multistream_frontend. Each stream carries its own
+    pose/point/Lambda tables (leading batch axis on every leaf); there is
+    no stereo stage, so no Pallas special-casing is needed.
+
+    Returns step(imgs(B,H,W), R(B,3,3), t(B,3), ak(B,), poses, points,
+    Lam(B,P,3,3), cand(B,C), conv_thr(B,), prior_w(B,)) -> MonoStepOut with
+    a leading stream axis on every leaf."""
+    from scavislam_tpu.models.mono_step import mono_step
+
+    def one(img, R, t, ak, poses, points, Lam, cand, conv, pw):
+        return mono_step(
+            img, R, t, ak, poses, points, Lam, cand, conv, pw,
+            cam_params, cam_statics, levels, 2.0, zmssd_thr,
+        )
+
+    def vstep(imgs, R, t, ak, poses, points, Lam, cand, conv, pw):
+        return jax.vmap(one)(imgs, R, t, ak, poses, points, Lam, cand,
+                             conv, pw)
+
+    if mesh is None:
+        return jax.jit(vstep)
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    step = shard_map(
+        vstep, mesh=mesh,
+        in_specs=P("dp"),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -45,6 +45,11 @@ def main(argv=None):
                          "operating point 2.0; needs a ~20+ keyframe index)")
     ap.add_argument("--vocabulary",
                     help=".npz vocabulary from create_dictionary")
+    ap.add_argument("--save-system",
+                    help="checkpoint the full mono state to .npz at the end")
+    ap.add_argument("--load-system",
+                    help="resume from a mono checkpoint (tracking continues "
+                         "from the checkpointed pose and map)")
     ap.add_argument("--window-ba", action="store_true",
                     help="joint pose+structure window BA at every new "
                          "keyframe (anchored uv factors through the DWO "
@@ -88,7 +93,12 @@ def main(argv=None):
         )
         frames = iter(grab)
 
-    fe = MonoFrontend(cam, cfg, prior_idepth=args.prior_idepth)
+    if args.load_system:
+        from scavislam_tpu.utils.serialization import load_mono_system
+
+        fe = load_mono_system(args.load_system, cam, cfg)
+    else:
+        fe = MonoFrontend(cam, cfg, prior_idepth=args.prior_idepth)
     if args.pipeline_depth:
         fe.pipeline_depth = args.pipeline_depth
     detector = None
@@ -127,7 +137,7 @@ def main(argv=None):
             break
         if "T_cw_gt" in frame:
             gt_poses.append(frame["T_cw_gt"])
-        if n == 0:
+        if n == 0 and not args.load_system:
             fe.process_first_frame(frame)
             if detector is not None:
                 index_keyframe(fe.actkey_id, frame["left"])
@@ -191,6 +201,10 @@ def main(argv=None):
             ate_rmse_aligned(fe.trajectory, gt_poses[:len(fe.trajectory)]),
             5)
 
+    if args.save_system:
+        from scavislam_tpu.utils.serialization import save_mono_system
+
+        save_mono_system(fe, args.save_system)
     if args.out:
         from scavislam_tpu.utils.serialization import save_trajectory_tum
 

@@ -301,3 +301,114 @@ def load_system(path: str, cam, cfg=None, **system_kw):
     # a loaded map has no live tracking state: localize first
     system.lost = system.place_recognizer is not None
     return system
+
+
+def save_mono_system(fe, path: str):
+    """Checkpoint a MonoFrontend: device tables (points + Lambda information
+    + poses), host mirrors (keyframe bookkeeping, per-keyframe observations
+    for the window BA), trajectory, and the scale-gauge parameters — one
+    compressed .npz. Mono persistence has no reference analogue at all (the
+    mode itself never shipped)."""
+    fmeta = {
+        "next_kf": fe.next_kf,
+        "next_point": fe.next_point,
+        "actkey_id": fe.actkey_id,
+        "prior_idepth": fe.prior_idepth,
+        "conv_q_info": fe.conv_q_info,
+        "prior_weight": fe.prior_weight,
+        "kf_point_ids": {str(k): np.asarray(v).tolist()
+                         for k, v in fe.kf_point_ids.items()},
+        "covis": {str(k): {str(a): int(s) for a, s in d.items()}
+                  for k, d in fe.covis.items()},
+        "pose_np": {str(k): [np.asarray(R).tolist(), np.asarray(t).tolist()]
+                    for k, (R, t) in fe.pose_np.items()},
+        "traj_fids": [int(f) for f, _T in fe.trajectory],
+    }
+    traj_R = (np.stack([np.asarray(T.R) for _f, T in fe.trajectory])
+              if fe.trajectory else np.zeros((0, 3, 3)))
+    traj_t = (np.stack([np.asarray(T.t) for _f, T in fe.trajectory])
+              if fe.trajectory else np.zeros((0, 3)))
+    # per-keyframe observations (window-BA input)
+    obs_kf, obs_ids, obs_uv = [], [], []
+    for k in sorted(fe.kf_obs):
+        ids, uv = fe.kf_obs[k]
+        obs_kf.extend([k] * len(ids))
+        obs_ids.extend(np.asarray(ids).tolist())
+        obs_uv.append(np.asarray(uv, np.float32).reshape(-1, 2))
+    np.savez_compressed(
+        path,
+        m_meta=np.asarray(json.dumps(fmeta)),
+        mp_psi=np.asarray(fe.points.psi),
+        mp_anchor=np.asarray(fe.points.anchor),
+        mp_level=np.asarray(fe.points.level),
+        mp_patch=np.asarray(fe.points.patch, np.float32),
+        mp_uv0=np.asarray(fe.points.uv0),
+        mp_valid=np.asarray(fe.points.valid),
+        mp_lam=np.asarray(fe.Lam),
+        mo_R=np.asarray(fe.poses.R),
+        mo_t=np.asarray(fe.poses.t),
+        mo_valid=np.asarray(fe.poses.valid),
+        meta_anchor=fe._meta_anchor,
+        meta_level=fe._meta_level,
+        traj_R=traj_R,
+        traj_t=traj_t,
+        obs_kf=np.asarray(obs_kf, np.int64),
+        obs_ids=np.asarray(obs_ids, np.int64),
+        obs_uv=(np.concatenate(obs_uv) if obs_uv
+                else np.zeros((0, 2), np.float32)),
+    )
+
+
+def load_mono_system(path: str, cam, cfg=None, **fe_kw):
+    """Restore a MonoFrontend from ``save_mono_system``: tracking resumes
+    from the checkpointed pose with the full filtered map, Lambda state,
+    and window-BA observation history."""
+    import jax.numpy as jnp
+
+    from scavislam_tpu.core.lie import PoseRT
+    from scavislam_tpu.models.map_store import PointTable, PoseTable
+    from scavislam_tpu.models.mono_frontend import MonoFrontend
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["m_meta"]))
+    fe = MonoFrontend(cam, cfg, prior_idepth=meta["prior_idepth"],
+                      conv_q_info=meta["conv_q_info"],
+                      prior_weight=meta["prior_weight"], **fe_kw)
+    fe.points = PointTable(
+        jnp.asarray(z["mp_psi"]), jnp.asarray(z["mp_anchor"]),
+        jnp.asarray(z["mp_level"]), jnp.asarray(z["mp_patch"]),
+        jnp.asarray(z["mp_uv0"]), jnp.asarray(z["mp_valid"]),
+    )
+    fe.Lam = jnp.asarray(z["mp_lam"])
+    fe.poses = PoseTable(
+        jnp.asarray(z["mo_R"]), jnp.asarray(z["mo_t"]),
+        jnp.asarray(z["mo_valid"]),
+    )
+    fe._meta_anchor = z["meta_anchor"]
+    fe._meta_level = z["meta_level"]
+    fe.next_kf = int(meta["next_kf"])
+    fe.next_point = int(meta["next_point"])
+    fe.actkey_id = int(meta["actkey_id"])
+    fe.kf_point_ids = {int(k): np.asarray(v, np.int64)
+                       for k, v in meta["kf_point_ids"].items()}
+    fe.covis = {int(k): {int(a): s for a, s in d.items()}
+                for k, d in meta["covis"].items()}
+    fe.pose_np = {int(k): (np.asarray(R, np.float32),
+                           np.asarray(t, np.float32))
+                  for k, (R, t) in meta["pose_np"].items()}
+    fe.trajectory = [
+        (fid, PoseRT(z["traj_R"][i].astype(np.float64),
+                     z["traj_t"][i].astype(np.float64)))
+        for i, fid in enumerate(meta["traj_fids"])
+    ]
+    obs_kf = z["obs_kf"]
+    for k in np.unique(obs_kf):
+        sel = obs_kf == k
+        fe.kf_obs[int(k)] = (z["obs_ids"][sel],
+                             z["obs_uv"][sel].astype(np.float32))
+    if fe.trajectory:
+        last = fe.trajectory[-1][1]
+        fe._R_cw = np.asarray(last.R, np.float32)
+        fe._t_cw = np.asarray(last.t, np.float32)
+        fe.frame_id = fe.trajectory[-1][0]
+    return fe

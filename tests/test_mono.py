@@ -311,6 +311,51 @@ class TestMonoVo:
         ate_p = ate_rmse_aligned(fe_p.trajectory, gt)
         assert ate_p < max(2.0 * ate_s, 0.02), (ate_s, ate_p)
 
+    def test_checkpoint_resume(self, tmp_path):
+        """save/load of the full mono state: the restored frontend carries
+        the filtered map + Lambda + observation history and CONTINUES
+        TRACKING the same sequence from the checkpointed pose."""
+        from scavislam_tpu.utils.serialization import (
+            load_mono_system,
+            save_mono_system,
+        )
+
+        n = 14
+        seq = SyntheticSequence(CAM, n_frames=n, kind="forward_arc",
+                                step=0.035)
+        from scavislam_tpu.models.mono_frontend import MonoFrontend
+
+        fe = MonoFrontend(CAM)
+        fe.process_first_frame(seq.frame(0))
+        for i in range(1, 8):
+            ok, _ = fe.process_frame(seq.frame(i))
+            assert ok
+        p = str(tmp_path / "mono.npz")
+        save_mono_system(fe, p)
+
+        fe2 = load_mono_system(p, CAM)
+        np.testing.assert_array_equal(np.asarray(fe2.points.psi),
+                                      np.asarray(fe.points.psi))
+        np.testing.assert_array_equal(np.asarray(fe2.Lam),
+                                      np.asarray(fe.Lam))
+        assert fe2.pose_np.keys() == fe.pose_np.keys()
+        assert fe2.kf_obs.keys() == fe.kf_obs.keys()
+        for k in fe.kf_obs:
+            np.testing.assert_array_equal(fe2.kf_obs[k][0], fe.kf_obs[k][0])
+        assert len(fe2.trajectory) == len(fe.trajectory)
+
+        # resumed tracking: both frontends process the remaining frames and
+        # agree (same device state, same host mirrors -> same programs)
+        for i in range(8, n):
+            ok1, _ = fe.process_frame(seq.frame(i))
+            ok2, _ = fe2.process_frame(seq.frame(i))
+            assert ok1 and ok2
+        t1 = np.asarray(fe.trajectory[-1][1].t)
+        t2 = np.asarray(fe2.trajectory[-1][1].t)
+        np.testing.assert_allclose(t1, t2, atol=1e-5)
+        gt = [seq.frame(i)["T_cw_gt"] for i in range(n)]
+        assert ate_rmse_aligned(fe2.trajectory, gt) < 0.05
+
     def test_cli_end_to_end(self, tmp_path):
         """apps/mono_vo plumbing: run, exports, summary fields (camera
         matches the rest of this file so every program is already

@@ -197,8 +197,13 @@ def main(argv=None):
     if gt_poses and len(fe.trajectory) > 3:
         from scavislam_tpu.pipeline.slam_system import ate_rmse_aligned
 
+        # pair by FRAME ID: a stale-epoch transient skip (pipelined mode)
+        # leaves a frame out of the trajectory while gt_poses still has it —
+        # positional pairing would shift every later pair by one
+        paired = [(fid, T) for fid, T in fe.trajectory
+                  if 0 <= fid < len(gt_poses)]
         summary["ate_sim3_m"] = round(
-            ate_rmse_aligned(fe.trajectory, gt_poses[:len(fe.trajectory)]),
+            ate_rmse_aligned(paired, [gt_poses[fid] for fid, _T in paired]),
             5)
 
     if args.save_system:

@@ -455,3 +455,23 @@ class PoseRT(NamedTuple):
 
     def log(self):
         return self.as_se3().log()
+
+
+def umeyama_sim3(A: "np.ndarray", B: "np.ndarray", with_scale: bool = True):
+    """Closed-form least-squares similarity with B ~ s R A + t over all rows
+    (Umeyama 1991). Host numpy — shared by the mono loop-closure inlier
+    refit (models.mono_loop) and the Sim3-aligned ATE metric
+    (pipeline.slam_system.ate_rmse_aligned). Returns (s, R, t)."""
+    mu_a, mu_b = A.mean(0), B.mean(0)
+    Ac, Bc = A - mu_a, B - mu_b
+    C = Bc.T @ Ac / len(A)
+    U, D, Vt = np.linalg.svd(C)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    var_a = (Ac ** 2).sum() / len(A)
+    s = (float(np.trace(np.diag(D) @ S) / max(var_a, 1e-12))
+         if with_scale else 1.0)
+    t = mu_b - s * R @ mu_a
+    return s, R.astype(np.float32), t.astype(np.float32)

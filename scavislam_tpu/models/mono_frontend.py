@@ -60,10 +60,6 @@ def _solve_mono_window(cam_params, prob, iters):
                     disp_info=jnp.zeros_like(prob.obs_weight))
 
 
-class MonoTrackingFailure(Exception):
-    pass
-
-
 class MonoFrontend:
     """Feature-based monocular VO with filter-initialized inverse depth.
 
@@ -84,6 +80,12 @@ class MonoFrontend:
         self.prior_idepth = float(prior_idepth)
         self.conv_q_info = float(conv_q_info)
         self.prior_weight = float(prior_weight)
+        # device scalars CACHED once: a fresh jnp scalar per frame is an
+        # eager device_put (one link round-trip each on the TPU tunnel;
+        # same rule as the stereo frontend's _actkey_dev)
+        self._conv_dev = jnp.float32(self.conv_q_info)
+        self._pw_dev = jnp.float32(self.prior_weight)
+        self._actkey_cache = None
 
         self.poses = PoseTable.empty()
         self.points = PointTable.empty()
@@ -131,6 +133,14 @@ class MonoFrontend:
         return PoseRT(self._R_cw.astype(np.float64).copy(),
                       self._t_cw.astype(np.float64).copy())
 
+    def _actkey_dev(self):
+        key = max(self.actkey_id, 0)
+        cached = self._actkey_cache
+        if cached is None or cached[0] != key:
+            cached = (key, jnp.int32(key))
+            self._actkey_cache = cached
+        return cached[1]
+
     def _cand_device(self, cand_ids):
         if self._cand_np is None or not np.array_equal(
                 self._cand_np, cand_ids):
@@ -168,10 +178,10 @@ class MonoFrontend:
                 else jnp.asarray(self._t_cw))
         out = mono_step(
             jnp.asarray(img), R_cw, t_cw,
-            jnp.int32(max(self.actkey_id, 0)),
+            self._actkey_dev(),
             self.poses, self.points, self.Lam,
             self._cand_device(cand_ids),
-            jnp.float32(self.conv_q_info), jnp.float32(self.prior_weight),
+            self._conv_dev, self._pw_dev,
             self._cam_params, self._cam_statics, self.levels,
             float(self.cfg.ui.max_reproj_error), 0.18,
         )

@@ -94,22 +94,6 @@ def _anchored_xyz_padded(fe, ids):
     return np.concatenate([psi[:, :2] / q, 1.0 / q], axis=1), n
 
 
-def _umeyama_sim3(A, B):
-    """Closed-form least-squares Sim3 with B ~ s R A + t over all rows."""
-    mu_a, mu_b = A.mean(0), B.mean(0)
-    Ac, Bc = A - mu_a, B - mu_b
-    C = Bc.T @ Ac / len(A)
-    U, D, Vt = np.linalg.svd(C)
-    S = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
-        S[2, 2] = -1.0
-    R = U @ S @ Vt
-    var_a = (Ac ** 2).sum() / len(A)
-    s = float(np.trace(np.diag(D) @ S) / max(var_a, 1e-12))
-    t = mu_b - s * R @ mu_a
-    return s, R.astype(np.float32), t.astype(np.float32)
-
-
 def estimate_sim3(fe, kf_a: int, kf_b: int, inlier_thr: float = 1.5,
                   min_inliers: int = 12, seed: int = 0):
     """Sim3 S_a_from_b between two keyframes from matched converged points
@@ -139,7 +123,9 @@ def estimate_sim3(fe, kf_a: int, kf_b: int, inlier_thr: float = 1.5,
     if cnt < min_inliers:
         return None, cnt
     keep = np.asarray(inl) & valid
-    s_r, R_r, t_r = _umeyama_sim3(xb[keep], xa[keep])
+    from scavislam_tpu.core.lie import umeyama_sim3
+
+    s_r, R_r, t_r = umeyama_sim3(xb[keep], xa[keep])
     return Sim3(jnp.asarray(R_r), jnp.asarray(t_r), jnp.float32(s_r)), cnt
 
 

@@ -306,20 +306,11 @@ def ate_rmse_aligned(trajectory, gt_poses, with_scale: bool = True) -> float:
         Tg = PoseRT.from_any(T_gt)
         est.append(-Te.R.T @ Te.t)  # camera centers in world
         gt.append(-Tg.R.T @ Tg.t)
+    from scavislam_tpu.core.lie import umeyama_sim3
+
     est = np.stack(est)
     gt = np.stack(gt)
-    mu_e, mu_g = est.mean(0), gt.mean(0)
-    E, G = est - mu_e, gt - mu_g
-    C = G.T @ E / len(est)
-    U, D, Vt = np.linalg.svd(C)
-    S = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
-        S[2, 2] = -1.0
-    R = U @ S @ Vt
-    var_e = (E ** 2).sum() / len(est)
-    s = float(np.trace(np.diag(D) @ S) / max(var_e, 1e-12)) if with_scale \
-        else 1.0
-    t = mu_g - s * R @ mu_e
+    s, R, t = umeyama_sim3(est, gt, with_scale=with_scale)
     resid = gt - (s * est @ R.T + t)
     return float(np.sqrt((resid ** 2).sum(axis=1).mean()))
 

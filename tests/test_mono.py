@@ -116,8 +116,9 @@ class TestMonoVo:
 
     def test_pure_prior_scale_gauge(self):
         """The recovered global scale tracks the inverse-depth prior: with a
-        prior 2x deeper, the trajectory scale halves (same Sim3-aligned
-        shape). This pins down the documented scale-gauge semantics."""
+        prior 2x DEEPER (half the inverse depth), the trajectory scale
+        DOUBLES (same Sim3-aligned shape). This pins down the documented
+        scale-gauge semantics."""
         n = 8
         fe_a, gt, _ = run_mono(n, prior_idepth=0.25)
         fe_b, _, _ = run_mono(n, prior_idepth=0.125)

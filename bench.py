@@ -16,9 +16,47 @@ import time
 import numpy as np
 
 
+def _wait_for_device(budget_s: float = 1500.0, probe_timeout: float = 120.0):
+    """Pre-flight probe: the TPU tunnel occasionally WEDGES (all calls hang,
+    historically clearing within ~20 min). A hung jax call cannot be
+    interrupted in-process, so probe in a SUBPROCESS with a timeout and
+    retry until the device answers or the budget runs out — a wedged start
+    then costs minutes instead of the whole benchmark record."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return  # forced-CPU runs (tests) never wedge
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "jax.devices(); print(np.asarray(jnp.ones(2) + 1)[0])")
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code], timeout=probe_timeout,
+                capture_output=True)
+            if res.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: device answered after {attempt} probes",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("bench: device probe budget exhausted; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print(f"bench: device unresponsive (probe {attempt}); retrying in "
+              "60 s", file=sys.stderr)
+        time.sleep(60.0)
+
+
 def main():
     # import AFTER potential env setup; uses the default platform (TPU chip
     # under the driver, CPU if forced)
+    _wait_for_device()
     import jax
 
     from scavislam_tpu.core.camera import StereoCamera

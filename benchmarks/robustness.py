@@ -79,10 +79,44 @@ def run_case(name, deg, n=60):
             "keyframes": len(system.frontend.keyframe_map)}
 
 
+def run_case_mono(name, deg, n=40):
+    """The same perturbation through the MONOCULAR pipeline (apps/mono_vo's
+    engine): mono has no disparity-validity cross-check, so noise robustness
+    leans entirely on the ZMSSD matcher, the prefiltered corner detection,
+    and the motion-BA rejection; the metric is the Sim3-aligned ATE."""
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.io.synthetic import SyntheticSequence
+    from scavislam_tpu.models.mono_frontend import MonoFrontend
+    from scavislam_tpu.pipeline.slam_system import ate_rmse_aligned
+
+    cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+    seq = SyntheticSequence(cam, n_frames=n, step=0.02, degrade=deg)
+    fe = MonoFrontend(cam)
+    fe.process_first_frame(seq.frame(0))
+    lost_at = None
+    gts = [seq.frame(0)["T_cw_gt"]]
+    for i in range(1, n):
+        f = seq.frame(i)
+        gts.append(f["T_cw_gt"])
+        ok, _ = fe.process_frame(f)
+        if not ok:
+            lost_at = i
+            break
+    pairs = [(fid, T) for fid, T in fe.trajectory if fid < len(gts)]
+    ate = (ate_rmse_aligned(pairs, [gts[fid] for fid, _ in pairs])
+           if len(pairs) > 3 else -1.0)
+    return {"scenario": name, "mode": "mono",
+            "ate_sim3_m": round(float(ate), 4),
+            "tracked_frames": len(pairs), "n_frames": n, "lost_at": lost_at,
+            "keyframes": fe.next_kf}
+
+
 def main():
     from scavislam_tpu.io.synthetic import Degradation
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    mono = "--mono" in sys.argv
+    argv = [a for a in sys.argv if a != "--mono"]
+    n = int(argv[1]) if len(argv) > 1 else (40 if mono else 60)
     cases = [
         ("clean", None),
         ("noise_2pct", Degradation(noise_std=0.02)),
@@ -103,14 +137,15 @@ def main():
     results = []
     for name, deg in cases:
         t0 = time.perf_counter()
-        r = run_case(name, deg, n)
+        r = run_case_mono(name, deg, n) if mono else run_case(name, deg, n)
         r["wall_s"] = round(time.perf_counter() - t0, 1)
         print(json.dumps(r), flush=True)
         results.append(r)
-    clean = results[0]["ate_rmse_m"]
+    key = "ate_sim3_m" if mono else "ate_rmse_m"
+    clean = results[0][key]
     print(json.dumps({"summary": "ate_vs_clean",
                       "clean_ate_m": clean,
-                      "worst": max(results, key=lambda r: r["ate_rmse_m"])[
+                      "worst": max(results, key=lambda r: r[key])[
                           "scenario"]}))
 
 

@@ -132,6 +132,8 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     n = 0
+    lost = [False]
+    relocs = [0]
     for frame in frames:
         if args.max_frames and n >= args.max_frames:
             break
@@ -141,6 +143,10 @@ def main(argv=None):
             fe.process_first_frame(frame)
             if detector is not None:
                 index_keyframe(fe.actkey_id, frame["left"])
+        elif lost[0]:
+            if detector is not None and fe.relocalize(detector, frame):
+                lost[0] = False
+                relocs[0] += 1
         elif args.pipelined:
             r = fe.process_frame_pipelined(frame)
             if r is not None:
@@ -154,6 +160,14 @@ def main(argv=None):
         else:
             ok, dropped = fe.process_frame(frame)
             if not ok:
+                if detector is not None:
+                    # lost mode: keep consuming frames and BoW-relocalize
+                    # (the stereo system's recovery path, mono flavor)
+                    print(f"mono tracking lost at frame {n}; relocalizing",
+                          file=sys.stderr)
+                    lost[0] = True
+                    n += 1
+                    continue
                 print(f"mono tracking FAILED at frame {n}", file=sys.stderr)
                 break
             if dropped:
@@ -191,6 +205,7 @@ def main(argv=None):
         "points": int(np.asarray(fe.points.valid).sum()),
         "converged_points": int(
             (np.asarray(fe.Lam)[:, 2, 2] > fe.conv_q_info).sum()),
+        "relocalizations": relocs[0],
     }
     if loop_report is not None:
         summary["loop"] = loop_report

@@ -274,11 +274,68 @@ class MonoFrontend:
         self.trajectory.append((frame_id, self._world_pose()))
 
         dropped = False
-        if epoch == self._kf_epoch and self._shall_drop_keyframe(
-                quad_counts, float(t_norm), float(mean_track_len)):
+        switched = self._maybe_switch_keyframe(float(t_norm))
+        if (not switched and epoch == self._kf_epoch
+                and self._shall_drop_keyframe(
+                    quad_counts, float(t_norm), float(mean_track_len))):
             self._add_new_keyframe(out)
             dropped = True
         return True, dropped
+
+    def _maybe_switch_keyframe(self, t_norm: float) -> bool:
+        """Re-target the active keyframe when an existing covisible
+        keyframe is closer than 0.5*parallax_thr and shares >100 tracked
+        features (parity: shallWeSwitchKeyframe, stereo_frontend.cpp:
+        445-510) — revisits reuse old keyframes instead of spawning."""
+        ids = self._tracked_ids
+        if len(ids) == 0 or self.actkey_id < 0:
+            return False
+        anch = self._meta_anchor[np.clip(ids, 0, MAX_POINTS - 1)]
+        best = None
+        for nbr in self.covis.get(self.actkey_id, {}):
+            shared = int((anch == nbr).sum())
+            if shared <= 100 or nbr not in self.pose_np:
+                continue
+            Rn, tn = self.pose_np[nbr]
+            R_cn = self._R_cw @ Rn.T
+            d = float(np.linalg.norm(self._t_cw - R_cn @ tn))
+            if d < 0.5 * self.cfg.ui.parallax_thr and d < t_norm:
+                if best is None or d < best[1]:
+                    best = (nbr, d)
+        if best is None:
+            return False
+        self.actkey_id = best[0]
+        self._actkey_cache = None
+        self._cand_np = None
+        return True
+
+    def relocalize(self, place_recognizer, frame) -> bool:
+        """Lost-mode recovery (the stereo system's relocalization, mono
+        flavor; the reference EXITS on tracking loss, stereo_slam.cpp:
+        706-710): BoW-query the keyframe index with no covisibility
+        exclusions, re-seed the pose at the best-scoring keyframe, and
+        confirm by running the normal fused step — guided matching against
+        that keyframe's map + uv motion BA either locks on (n_gated over
+        the tracking floor) or the attempt is rejected and the caller stays
+        lost. Returns True on recovery."""
+        words, _desc, _uvd, _xyz, valid = place_recognizer.describe(
+            jnp.asarray(np.asarray(frame["left"], np.float32)), None)
+        scores = place_recognizer._score(words[valid], exclude=set())
+        if not scores:
+            return False
+        best = max(scores, key=scores.get)
+        if best not in self.pose_np:
+            return False
+        Rk, tk = self.pose_np[best]
+        self._R_cw, self._t_cw = Rk.copy(), tk.copy()
+        self._dev_R_cw = None
+        self._dev_t_cw = None
+        self.actkey_id = best
+        self._actkey_cache = None
+        self._cand_np = None
+        self._pending.clear()
+        ok, _ = self.process_frame(frame)
+        return ok
 
     # -- keyframe policy ----------------------------------------------------- #
     def _shall_drop_keyframe(self, quad_counts, t_norm, mean_track_len):

@@ -312,6 +312,74 @@ class TestMonoVo:
         ate_p = ate_rmse_aligned(fe_p.trajectory, gt)
         assert ate_p < max(2.0 * ate_s, 0.02), (ate_s, ate_p)
 
+    def test_relocalization_after_kidnap(self):
+        """Mono lost-mode recovery: a kidnap (the camera teleports back to
+        an early pose while the frontend believes it is far ahead) breaks
+        tracking; BoW retrieval re-seeds at the best keyframe and the
+        normal fused step locks back on (the stereo system's
+        relocalization, mono flavor — the reference exits on loss)."""
+        from scavislam_tpu.models import mono_loop
+        from scavislam_tpu.models.mono_frontend import MonoFrontend
+
+        n = 12
+        seq = SyntheticSequence(CAM, n_frames=n, kind="forward_arc",
+                                step=0.035)
+        fe = MonoFrontend(CAM)
+        fe.process_first_frame(seq.frame(0))
+        for i in range(1, n):
+            ok, _ = fe.process_frame(seq.frame(i))
+            assert ok
+
+        pr = mono_loop.make_mono_place_recognizer(fe, score_thr=0.05)
+        pr.add_location({"kf_id": 0, "img": seq.frame(0)["left"],
+                         "disp": None, "exclude": {0}})
+
+        # kidnap: the camera is physically back at frame 1's pose while the
+        # estimator's belief is corrupted by a large yaw (a pure-forward
+        # teleport is basin-neutral near the focus of expansion — verified:
+        # guided matching legitimately TRACKS through it)
+        kidnap = seq.frame(1)
+        yaw = SE3.exp(jnp.asarray([0, 0, 0, 0.0, 0.7, 0.0], jnp.float32))
+        fe._R_cw = np.asarray(yaw.R, np.float32) @ fe._R_cw
+        fe._dev_R_cw = None
+        fe._dev_t_cw = None
+        ok, _ = fe.process_frame(kidnap)
+        assert not ok, "corrupted belief should break guided matching"
+
+        assert fe.relocalize(pr, kidnap)
+        T_gt = kidnap["T_cw_gt"]
+        err = np.linalg.norm(fe._t_cw - np.asarray(T_gt.t))
+        assert err < 0.15, err
+        # and tracking continues normally
+        ok, _ = fe.process_frame(seq.frame(2))
+        assert ok
+
+    def test_keyframe_switch_retargets(self):
+        """_maybe_switch_keyframe (parity: shallWeSwitchKeyframe,
+        stereo_frontend.cpp:445-510): when the camera is closer to a
+        covisible keyframe than to the active one AND shares >100 tracked
+        features with it, the actkey retargets instead of spawning. Pure
+        host logic — no device work."""
+        from scavislam_tpu.models.mono_frontend import MonoFrontend
+
+        fe = MonoFrontend(CAM)
+        for k, t in ((0, np.zeros(3, np.float32)),
+                     (1, np.array([0.5, 0, 0], np.float32))):
+            fe.pose_np[k] = (np.eye(3, dtype=np.float32), t)
+        fe.actkey_id = 1
+        fe.covis = {1: {0: 150}, 0: {1: 150}}
+        fe._R_cw = np.eye(3, dtype=np.float32)
+        fe._t_cw = np.array([0.05, 0, 0], np.float32)  # near kf0, far kf1
+        ids = np.arange(120, dtype=np.int64)
+        fe._meta_anchor[ids] = 0  # >100 shared features anchored at kf0
+        fe._tracked_ids = ids
+        assert fe._maybe_switch_keyframe(t_norm=0.45)
+        assert fe.actkey_id == 0
+        # too few shared features: no switch
+        fe.actkey_id = 1
+        fe._tracked_ids = ids[:50]
+        assert not fe._maybe_switch_keyframe(t_norm=0.45)
+
     def test_checkpoint_resume(self, tmp_path):
         """save/load of the full mono state: the restored frontend carries
         the filtered map + Lambda + observation history and CONTINUES

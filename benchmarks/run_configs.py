@@ -396,9 +396,55 @@ def config5(streams=8, n_obs=512, iters=50, full_steps=30):
             "tracking_core_solves_per_sec": round(solves_per_sec, 1)}
 
 
+def config6(n=120):
+    """Monocular VO throughput + Sim3-aligned ATE (beyond the reference:
+    its mono mode never shipped). Same New College shape at 512x384,
+    pipelined mono loop; everything warmed before timing like the stereo
+    configs (each distinct program is a 10-40 s first compile over the
+    tunnel)."""
+    import time as _t
+
+    from scavislam_tpu.apps.stereo_slam import build_camera
+    from scavislam_tpu.io.synthetic import SyntheticSequence
+    from scavislam_tpu.models.mono_frontend import MonoFrontend
+    from scavislam_tpu.pipeline.slam_system import ate_rmse_aligned
+    from scavislam_tpu.utils.config import Config
+
+    cfg = Config()
+    cam = build_camera(cfg)
+    seq = SyntheticSequence(cam, n_frames=n, step=0.01)
+    frames = [seq.frame(i) for i in range(n)]
+    gts = [f["T_cw_gt"] for f in frames]
+
+    # warm every program family: frame step, spawn, a keyframe spawn
+    warm = MonoFrontend(cam, cfg)
+    warm.process_first_frame(frames[0])
+    for i in range(1, 6):
+        warm.process_frame_pipelined(frames[i])
+    warm.flush_pipeline()
+    warm._add_new_keyframe(
+        type("O", (), {"pyr": warm.last_pyr})())  # warm the spawn program
+
+    fe = MonoFrontend(cam, cfg)
+    fe.pipeline_depth = 3
+    fe.process_first_frame(frames[0])
+    t0 = _t.perf_counter()
+    for i in range(1, n):
+        r = fe.process_frame_pipelined(frames[i])
+        assert r is None or r[0], f"mono lost at {i}"
+    fe.flush_pipeline()
+    dt = _t.perf_counter() - t0
+    paired = [(fid, T) for fid, T in fe.trajectory if 0 <= fid < n]
+    ate = ate_rmse_aligned(paired, [gts[fid] for fid, _ in paired])
+    return {"config": 6, "metric": "mono_vo_fps_512x384",
+            "value": round((n - 1) / dt, 1), "unit": "frames/sec",
+            "ate_sim3_m": round(float(ate), 4), "keyframes": fe.next_kf}
+
+
 def main():
     which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
     for i in which:
         if i not in fns:
             print(json.dumps({"config": i,

@@ -91,7 +91,14 @@ def main(argv=None):
             focal=cfg.cam.f,
             baseline=cfg.cam.baseline,
         )
-        frames = iter(grab)
+        def _gen():
+            while True:
+                f = grab.next_frame()
+                if f is None:
+                    return
+                yield f
+
+        frames = _gen()
 
     if args.load_system:
         from scavislam_tpu.utils.serialization import load_mono_system

@@ -85,9 +85,16 @@ def main(argv=None):
     ap.add_argument("out_dir")
     ap.add_argument("n_frames", nargs="?", type=int, default=60)
     ap.add_argument("--step", type=float, default=0.02)
+    ap.add_argument("--config", help="reference-format .cfg (camera; the "
+                                     "reference's dump_rgbd takes one too)")
     args = ap.parse_args(argv)
 
-    cfg = Config()
+    if args.config:
+        from scavislam_tpu.utils.config import load_config
+
+        cfg = load_config(args.config)
+    else:
+        cfg = Config()
     cam = StereoCamera.create(
         cfg.cam.f, (cfg.cam.px, cfg.cam.py),
         (cfg.cam.width, cfg.cam.height), cfg.cam.baseline,

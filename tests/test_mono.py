@@ -451,6 +451,23 @@ class TestMonoVo:
         rows = np.loadtxt(tmp_path / "traj.txt")
         assert rows.shape == (10, 8)
 
+    def test_dataset_replay_cli(self, tmp_path):
+        """mono_vo --dataset: a dump_sequence recording replays through the
+        native FileGrabber into the mono pipeline (this path shipped broken
+        once — FileGrabber is not iterable — so it stays covered)."""
+        from scavislam_tpu.apps import dump_sequence, mono_vo
+
+        cfg = tmp_path / "mono.cfg"
+        cfg.write_text(
+            "cam.width = 128;\ncam.height = 96;\ncam.f = 130.0;\n"
+            "cam.px = 63.5;\ncam.py = 47.5;\ncam.baseline = 0.12;\n")
+        dump = str(tmp_path / "dump")
+        dump_sequence.main([dump, "6", "--step", "0.035",
+                            "--config", str(cfg)])
+        out = mono_vo.main([str(cfg), "--dataset", dump])
+        assert out["frames"] == 6
+        assert out["converged_points"] > 30
+
     def test_keyframes_and_covisibility(self):
         import dataclasses
 

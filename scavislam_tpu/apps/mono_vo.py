@@ -121,7 +121,9 @@ def main(argv=None):
 
     def on_keyframe(kf_id, img):
         if args.window_ba:
-            fe.window_ba()
+            # pipelined runs dispatch async (adopted at a later consume);
+            # sync runs solve inline
+            fe.window_ba(sync=not args.pipelined)
         if detector is not None:
             index_keyframe(kf_id, img)
 

@@ -124,6 +124,9 @@ class MonoFrontend:
         # device pose chain (_dev_R_cw) advances without the host.
         self.pipeline_depth = 2
         self._pending = deque()
+        self._pending_ba = None  # in-flight async window solve
+        self._map_gen = 0  # bumped on re-gauge; stale solves discarded
+        self.last_ba_chi2 = None
         self._kf_epoch = 0
         self._fetch_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="mono-packed-fetch")
@@ -251,6 +254,7 @@ class MonoFrontend:
         return results
 
     def _consume(self, frame_id, cand_ids, out, pk, epoch):
+        self.adopt_pending_ba()  # landed async window solves apply here
         C = CAND_CAP
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
@@ -326,6 +330,7 @@ class MonoFrontend:
         best = max(scores, key=scores.get)
         if best not in self.pose_np:
             return False
+        self.invalidate_pending_ba()
         Rk, tk = self.pose_np[best]
         self._R_cw, self._t_cw = Rk.copy(), tk.copy()
         self._dev_R_cw = None
@@ -411,6 +416,8 @@ class MonoFrontend:
         self.kf_obs[kf_id] = (ids, uv)
 
     def _add_new_keyframe(self, out):
+        # the new keyframe's pose must chain from ADOPTED state
+        self.adopt_pending_ba(force=True)
         self._kf_epoch += 1
         # device reference to the keyframe's level-0 image: loop-detection
         # indexing happens later (in pipelined mode the spawn frame is
@@ -451,7 +458,8 @@ class MonoFrontend:
     # window's ~5 poses)
     BA_CAPS = (8, 1024, 3072)
 
-    def window_ba(self, window: int = 5, iters: int = 4):
+    def window_ba(self, window: int = 5, iters: int = 4,
+                  sync: bool = True):
         """Joint pose+structure refinement over the last `window` keyframes:
         anchored inverse-depth ternary factors with uv-only observations
         through the SAME Schur solver as the stereo DWO (ba_solver with the
@@ -459,12 +467,68 @@ class MonoFrontend:
         scaffold instantiates its graph with ObsDim=2,
         slam_graph-impl.cpp:128-249). The oldest window pose is the gauge.
 
-        Returns (chi2_initial, chi2_final) or None if the window is
-        degenerate (<2 keyframes or no cross-keyframe observations)."""
-        import jax
+        sync=True: solve + write back inline; returns (chi2_initial,
+        chi2_final), or None if the window is degenerate. sync=False
+        (the stereo async-DWO pattern): dispatch the device solve, hand the
+        small packed pose fetch to a worker thread, and adopt at a later
+        frame boundary (adopt_pending_ba) — keyframe-time blocking drops to
+        the host assembly while the solve+fetch latency hides behind
+        tracking. A map re-gauge between dispatch and adoption (loop
+        closure / relocalization) makes the solve STALE: it is discarded
+        (generation counter), never applied across an inconsistent gauge.
+        Late adoption intentionally supersedes the window points' last
+        couple of per-frame filter psi updates with the joint solution
+        (their Lambda keeps every observation's information).
 
+        Returns (chi2_initial, chi2_final), "dispatched", or None."""
+        self.adopt_pending_ba(force=True)
+        meta = self._assemble_window(window)
+        if meta is None:
+            return None
+        cam0 = self.cams[0]
+        R_out, t_out, psi_out, stats = _solve_mono_window(
+            (cam0.focal, cam0.pp[0], cam0.pp[1], cam0.baseline),
+            meta["prob"], iters)
+        packed = jnp.concatenate([
+            R_out.reshape(-1), t_out.reshape(-1),
+            jnp.stack([stats.chi2_initial, stats.chi2_final]),
+        ])
+        meta["psi_out"] = psi_out
+        meta["gen"] = self._map_gen
+        if sync:
+            self._writeback_window(meta, np.asarray(packed))
+            return self.last_ba_chi2
+        meta["fut"] = self._fetch_pool.submit(np.asarray, packed)
+        self._pending_ba = meta
+        return "dispatched"
+
+    def adopt_pending_ba(self, force: bool = False) -> bool:
+        """Apply a landed async window solve (or wait for it with force);
+        discard it when the map generation moved (re-gauge since dispatch).
+        Called at every frame consume and before any graph-mutating op, so
+        asynchrony never reorders map updates."""
+        pb = self._pending_ba
+        if pb is None:
+            return False
+        if not force and not pb["fut"].done():
+            return False
+        self._pending_ba = None
+        packed = pb["fut"].result()
+        if pb["gen"] != self._map_gen:
+            return False  # stale across a loop closure / relocalization
+        self._writeback_window(pb, packed)
+        return True
+
+    def invalidate_pending_ba(self):
+        """The map gauge changed (loop closure re-gauge, relocalization):
+        any in-flight window solve no longer applies."""
+        self._map_gen += 1
+        self._pending_ba = None
+
+    def _assemble_window(self, window: int):
+        """Host problem assembly. Returns a meta dict (prob + index maps)
+        or None when the window is degenerate."""
         from scavislam_tpu.models.ba_solver import BAProblem
-        from scavislam_tpu.models.map_store import scatter_psi
 
         kf_ids = sorted(self.pose_np.keys())[-window:]
         if len(kf_ids) < 2:
@@ -539,14 +603,20 @@ class MonoFrontend:
             obs_uvu=jnp.asarray(ouv), obs_weight=jnp.asarray(ow),
             obs_valid=jnp.asarray(ov),
         )
-        cam0 = self.cams[0]
-        R_out, t_out, psi_out, stats = _solve_mono_window(
-            (cam0.focal, cam0.pp[0], cam0.pp[1], cam0.baseline), prob,
-            iters)
+        return {"prob": prob, "kf_ids": kf_ids, "slot": slot, "pts": pts}
 
-        # write back: poses (numpy mirrors + device table) and psi
-        R_np = np.asarray(R_out)
-        t_np = np.asarray(t_out)
+    def _writeback_window(self, meta, packed):
+        """Apply a window solve: poses (numpy mirrors + device table), psi
+        scatter, and the tracking-chain rebase through the CURRENT actkey's
+        correction."""
+        from scavislam_tpu.models.map_store import scatter_psi
+
+        kf_ids, slot, pts = meta["kf_ids"], meta["slot"], meta["pts"]
+        P_cap, L_cap, _ = self.BA_CAPS
+        R_np = packed[: P_cap * 9].reshape(P_cap, 3, 3)
+        t_np = packed[P_cap * 9: P_cap * 12].reshape(P_cap, 3)
+        self.last_ba_chi2 = (float(packed[P_cap * 12]),
+                             float(packed[P_cap * 12 + 1]))
         kidx = np.asarray([k for k in kf_ids], np.int32)
         sidx = np.asarray([slot[k] for k in kf_ids], np.int32)
         self.poses = self.poses.set_many(
@@ -571,5 +641,5 @@ class MonoFrontend:
         pids = np.full(L_cap, MAX_POINTS, np.int64)
         pids[: len(pts)] = pts
         self.points = self.points._replace(
-            psi=scatter_psi(self.points.psi, jnp.asarray(pids), psi_out))
-        return float(stats.chi2_initial), float(stats.chi2_final)
+            psi=scatter_psi(self.points.psi, jnp.asarray(pids),
+                            meta["psi_out"]))

@@ -142,6 +142,9 @@ def close_loop_sim3(fe, kf_query: int, kf_loop: int, S_q_from_l: Sim3,
     the loop vertex into the query's metric frame, slam_graph.cpp:207-251).
 
     Returns {kf_id: scale} of the applied per-keyframe re-gauges."""
+    if hasattr(fe, "invalidate_pending_ba"):
+        # a re-gauge makes any in-flight window solve inapplicable
+        fe.invalidate_pending_ba()
     kf_ids = sorted(fe.pose_np.keys())
     n = len(kf_ids)
     idx = {k: i for i, k in enumerate(kf_ids)}

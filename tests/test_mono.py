@@ -281,6 +281,45 @@ class TestMonoVo:
         assert (np.linalg.norm(t_opt - t_l)
                 < 0.5 * np.linalg.norm(t_bad - t_l)), (t_l, t_bad, t_opt)
 
+    def test_window_ba_async_matches_sync(self):
+        """window_ba(sync=False) dispatches the solve and adopts one poll
+        later; on an unchanged map the adopted state is BIT-IDENTICAL to
+        the sync solve, and a map re-gauge between dispatch and adoption
+        DISCARDS the stale solve."""
+        import dataclasses
+
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.3))
+        fe_s, _gt, _ = run_mono(14, cfg=cfg)
+        fe_a, _gt, _ = run_mono(14, cfg=cfg)
+        assert fe_s.next_kf >= 2
+
+        out_s = fe_s.window_ba(window=5, iters=3)
+        assert out_s is not None
+
+        assert fe_a.window_ba(window=5, iters=3, sync=False) == "dispatched"
+        assert fe_a.adopt_pending_ba(force=True)
+        assert fe_a.last_ba_chi2 == out_s
+        for k in fe_s.pose_np:
+            np.testing.assert_array_equal(fe_a.pose_np[k][0],
+                                          fe_s.pose_np[k][0])
+            np.testing.assert_array_equal(fe_a.pose_np[k][1],
+                                          fe_s.pose_np[k][1])
+        np.testing.assert_array_equal(np.asarray(fe_a.points.psi),
+                                      np.asarray(fe_s.points.psi))
+
+        # stale discard: a re-gauge between dispatch and adoption (the
+        # generation check itself, with the pending entry still in flight)
+        psi_before = np.asarray(fe_a.points.psi)
+        assert fe_a.window_ba(window=5, iters=3, sync=False) == "dispatched"
+        fe_a._map_gen += 1  # what close_loop_sim3/relocalize do
+        assert not fe_a.adopt_pending_ba(force=True)
+        np.testing.assert_array_equal(np.asarray(fe_a.points.psi),
+                                      psi_before)
+
     def test_pipelined_matches_sync(self):
         """Pipelined mono loop (overlapped packed fetches): same sequence
         through both paths — every consumed frame succeeds and the

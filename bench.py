@@ -31,6 +31,7 @@ def _wait_for_device(budget_s: float = 1500.0, probe_timeout: float = 120.0):
             "jax.devices(); print(np.asarray(jnp.ones(2) + 1)[0])")
     deadline = time.time() + budget_s
     attempt = 0
+    hard_failures = 0
     while True:
         attempt += 1
         try:
@@ -42,8 +43,20 @@ def _wait_for_device(budget_s: float = 1500.0, probe_timeout: float = 120.0):
                     print(f"bench: device answered after {attempt} probes",
                           file=sys.stderr)
                 return
+            # HARD failure (backend raised, not a hang): surface it and
+            # bail quickly — retrying for 25 min cannot fix a broken
+            # install, and main() will show the same error anyway
+            hard_failures += 1
+            print("bench: device probe FAILED (rc=%d):\n%s" % (
+                res.returncode,
+                res.stderr.decode(errors="replace")[-500:]),
+                file=sys.stderr)
+            if hard_failures >= 3:
+                print("bench: 3 hard probe failures; proceeding",
+                      file=sys.stderr)
+                return
         except subprocess.TimeoutExpired:
-            pass
+            pass  # a hang IS the wedge signature: keep waiting
         if time.time() > deadline:
             print("bench: device probe budget exhausted; proceeding anyway",
                   file=sys.stderr)

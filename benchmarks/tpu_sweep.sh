@@ -1,13 +1,19 @@
 #!/bin/bash
 # One-shot TPU measurement sweep: run after a tunnel outage to refresh every
-# RESULTS.md number in one go. Each step has its own timeout so a re-wedge
-# costs one step, not the sweep. Appends JSON lines to benchmarks/tpu_sweep.log.
+# RESULTS.md number in one go. Probes FIRST and waits (up to 2 h) for the
+# device to answer before burning step timeouts; a mid-sweep re-wedge then
+# costs one step's timeout, not every step's.
 cd "$(dirname "$0")/.." || exit 1
 LOG=benchmarks/tpu_sweep.log
 echo "=== sweep $(date -u +%FT%TZ) ===" >> "$LOG"
+probe() { timeout 120 python -c "import jax, jax.numpy as jnp, numpy as np; print('probe', np.asarray(jnp.ones(2)+1)[0])" >> "$LOG" 2>&1; }
+for i in $(seq 1 60); do
+  if probe; then echo "device up after $i probe(s)" >> "$LOG"; break; fi
+  [ "$i" = 60 ] && { echo "device never answered; aborting sweep" >> "$LOG"; exit 1; }
+  sleep 60
+done
 run() { echo "--- $* ---" >> "$LOG"; timeout "$1" "${@:2}" >> "$LOG" 2>&1; }
-run 600  python -c "import jax, jax.numpy as jnp, numpy as np; print('probe', np.asarray(jnp.ones(2)+1))"
-run 1200 python bench.py 60
+run 1800 python bench.py 60
 run 1200 python benchmarks/run_configs.py 1
 run 1200 python benchmarks/run_configs.py 2
 run 1200 python benchmarks/run_configs.py 3
@@ -16,4 +22,4 @@ run 1500 python benchmarks/run_configs.py 5
 run 1500 python benchmarks/run_configs.py 6
 run 900  python benchmarks/profile_stages.py
 run 900  python benchmarks/profile_loop.py 100
-tail -40 "$LOG"
+tail -50 "$LOG"

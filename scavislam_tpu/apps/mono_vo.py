@@ -91,14 +91,7 @@ def main(argv=None):
             focal=cfg.cam.f,
             baseline=cfg.cam.baseline,
         )
-        def _gen():
-            while True:
-                f = grab.next_frame()
-                if f is None:
-                    return
-                yield f
-
-        frames = _gen()
+        frames = iter(grab)
 
     if args.load_system:
         from scavislam_tpu.utils.serialization import load_mono_system
@@ -161,6 +154,12 @@ def main(argv=None):
             if r is not None:
                 ok, dropped, _fid = r
                 if not ok:
+                    if detector is not None:
+                        print(f"mono tracking lost near frame {n}; "
+                              "relocalizing", file=sys.stderr)
+                        lost[0] = True
+                        n += 1
+                        continue
                     print(f"mono tracking FAILED near frame {n}",
                           file=sys.stderr)
                     break
@@ -186,6 +185,9 @@ def main(argv=None):
         for ok, dropped, _fid in fe.flush_pipeline():
             if dropped:
                 on_keyframe(fe.actkey_id, fe.last_kf_img)
+        # a window solve dispatched at/near the end would otherwise be
+        # silently dropped: the summary/checkpoint/viz must reflect it
+        fe.adopt_pending_ba(force=True)
     wall = time.perf_counter() - t0
 
     loop_report = None

@@ -137,14 +137,7 @@ def main(argv=None):
             device_prefetch=args.pipelined,
         )
 
-        def gen():
-            while True:
-                f = grabber.next_frame()
-                if f is None:
-                    return
-                yield f
-
-        frames = gen()
+        frames = iter(grabber)
 
     if args.debug_mode >= 0:
         import os

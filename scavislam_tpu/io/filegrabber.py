@@ -223,6 +223,16 @@ class FileGrabber:
             self._q.put(bundle)
         self._q.put(None)
 
+    def __iter__(self):
+        """Drain frames in index order until exhausted (both CLI apps
+        consume the grabber this way; iter(grabber) once shipped broken
+        because only next_frame() existed)."""
+        while True:
+            f = self.next_frame()
+            if f is None:
+                return
+            yield f
+
     def next_frame(self):
         """Blocking; returns dict with float [0,1] 'left'/'right' (+optional
         'disp') or None at end of sequence. Asserts strict ordering

@@ -217,6 +217,8 @@ class MonoFrontend:
 
     def process_frame(self, frame: dict):
         """Track one frame synchronously. Returns (success, dropped)."""
+        self.adopt_pending_ba()  # BEFORE dispatch: the step seeds from the
+        # adopted chain, so this frame's packet needs no correction
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
@@ -228,36 +230,48 @@ class MonoFrontend:
         frames ago (its packed fetch has been resolving in a helper thread
         while the in-flight frames' device programs ran). Returns
         (success, dropped, consumed_frame_id) or None while filling."""
+        # adopt BEFORE dispatch: frames already in flight get a pose
+        # correction attached (their packets were computed pre-adoption);
+        # this frame dispatches against the adopted chain
+        self.adopt_pending_ba()
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
         fut = self._fetch_pool.submit(np.asarray, out.packed)
         self._pending.append(
-            (self.frame_id, cand_ids, out, fut, self._kf_epoch))
+            [self.frame_id, cand_ids, out, fut, self._kf_epoch, None])
         if len(self._pending) <= max(1, self.pipeline_depth):
             return None
-        fid, cand_ids, out, fut, epoch = self._pending.popleft()
-        ok, dropped = self._consume(fid, cand_ids, out, fut.result(), epoch)
+        fid, cand_ids, out, fut, epoch, corr = self._pending.popleft()
+        ok, dropped = self._consume(fid, cand_ids, out, fut.result(), epoch,
+                                    corr)
         return ok, dropped, fid
 
     def flush_pipeline(self):
         """Consume all in-flight frames (end of sequence)."""
         results = []
         while self._pending:
-            fid, cand_ids, out, fut, epoch = self._pending.popleft()
+            fid, cand_ids, out, fut, epoch, corr = self._pending.popleft()
             ok, dropped = self._consume(fid, cand_ids, out, fut.result(),
-                                        epoch)
+                                        epoch, corr)
             results.append((ok, dropped, fid))
             if not ok:
                 self._pending.clear()
                 break
         return results
 
-    def _consume(self, frame_id, cand_ids, out, pk, epoch):
-        self.adopt_pending_ba()  # landed async window solves apply here
+    def _consume(self, frame_id, cand_ids, out, pk, epoch, corr=None):
         C = CAND_CAP
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
+        if corr is not None:
+            # this frame was dispatched before an async window-BA adoption:
+            # apply the same right-multiplicative actkey correction the
+            # chain received (T_cw' = T_cw_packet @ T_akw_old^-1 T_akw_new;
+            # the stereo frontend's backend-rebase correction, same math)
+            R_c, t_c = corr
+            t_cw = R_cw @ t_c + t_cw
+            R_cw = R_cw @ R_c
         n_matched, n_gated, n_conv, t_norm, mean_track_len = pk[24:29]
         quad_counts = pk[30:34]
         gate = pk[34:34 + C] > 0.5
@@ -278,7 +292,12 @@ class MonoFrontend:
         self.trajectory.append((frame_id, self._world_pose()))
 
         dropped = False
-        switched = self._maybe_switch_keyframe(float(t_norm))
+        # keyframe DECISIONS (switch and spawn alike) only on current-epoch
+        # frames: stale-epoch stats (t_norm vs the OLD actkey, pre-spawn
+        # tracked ids) re-trigger the very conditions the last decision
+        # fixed (the stereo keyframe-cascade lesson, commit e61d7d8)
+        switched = (epoch == self._kf_epoch
+                    and self._maybe_switch_keyframe(float(t_norm)))
         if (not switched and epoch == self._kf_epoch
                 and self._shall_drop_keyframe(
                     quad_counts, float(t_norm), float(mean_track_len))):
@@ -311,6 +330,9 @@ class MonoFrontend:
         self.actkey_id = best[0]
         self._actkey_cache = None
         self._cand_np = None
+        # in-flight frames' stats refer to the OLD actkey: suppress their
+        # keyframe decisions (same epoch rule as a spawn)
+        self._kf_epoch += 1
         return True
 
     def relocalize(self, place_recognizer, frame) -> bool:
@@ -332,6 +354,13 @@ class MonoFrontend:
             return False
         self.invalidate_pending_ba()
         Rk, tk = self.pose_np[best]
+        # snapshot the map state (immutable jax arrays: references are
+        # snapshots): a FAILED confirm must not keep the wrong-pose filter
+        # updates the fused step committed — repeated failed attempts would
+        # otherwise push misassociated candidates past the convergence
+        # threshold at wrong depths
+        snap = (self.points, self.Lam, self._R_cw.copy(), self._t_cw.copy(),
+                self.actkey_id)
         self._R_cw, self._t_cw = Rk.copy(), tk.copy()
         self._dev_R_cw = None
         self._dev_t_cw = None
@@ -340,6 +369,13 @@ class MonoFrontend:
         self._cand_np = None
         self._pending.clear()
         ok, _ = self.process_frame(frame)
+        if not ok:
+            (self.points, self.Lam, self._R_cw, self._t_cw,
+             self.actkey_id) = snap
+            self._dev_R_cw = None
+            self._dev_t_cw = None
+            self._actkey_cache = None
+            self._cand_np = None
         return ok
 
     # -- keyframe policy ----------------------------------------------------- #
@@ -513,7 +549,17 @@ class MonoFrontend:
         if not force and not pb["fut"].done():
             return False
         self._pending_ba = None
-        packed = pb["fut"].result()
+        try:
+            # bounded wait: the tunnel can wedge mid-fetch, and a window
+            # solve is an optional refinement — drop it rather than hang
+            # the frontend (CLAUDE.md: keep timeouts on everything)
+            packed = pb["fut"].result(timeout=180.0)
+        except Exception:
+            import sys as _sys
+
+            print("mono: dropping a window solve whose fetch never landed "
+                  "(tunnel wedge?)", file=_sys.stderr)
+            return False
         if pb["gen"] != self._map_gen:
             return False  # stale across a loop closure / relocalization
         self._writeback_window(pb, packed)
@@ -559,11 +605,14 @@ class MonoFrontend:
             pv[i] = True
         pf[0] = True  # gauge: the oldest window keyframe
 
-        psi0 = np.asarray(self.points.psi)[pts].astype(np.float32)
+        # psi gathered ON DEVICE (a host np.asarray of the full point table
+        # is a ~25 ms tunnel fetch sitting in the keyframe path — the very
+        # blocking the async mode removes)
         anchor = np.array(
             [slot[int(self._meta_anchor[p])] for p in pts], np.int32)
-        psi_pad = np.zeros((L_cap, 3), np.float32)
-        psi_pad[: len(pts)] = psi0
+        pids_pad = np.zeros(L_cap, np.int64)
+        pids_pad[: len(pts)] = pts
+        psi_pad = self.points.psi[jnp.asarray(pids_pad)]
         anch_pad = np.zeros(L_cap, np.int32)
         anch_pad[: len(pts)] = anchor
         lval = np.zeros(L_cap, bool)
@@ -597,7 +646,7 @@ class MonoFrontend:
         prob = prob._replace(
             R=jnp.asarray(Rs), t=jnp.asarray(ts),
             pose_valid=jnp.asarray(pv), pose_fixed=jnp.asarray(pf),
-            psi=jnp.asarray(psi_pad), anchor_slot=jnp.asarray(anch_pad),
+            psi=psi_pad, anchor_slot=jnp.asarray(anch_pad),
             point_valid=jnp.asarray(lval),
             obs_pose=jnp.asarray(op), obs_point=jnp.asarray(opt),
             obs_uvu=jnp.asarray(ouv), obs_weight=jnp.asarray(ow),
@@ -634,6 +683,18 @@ class MonoFrontend:
             self._t_cw = (R_cak @ tk_new + t_cak).astype(np.float32)
             self._dev_R_cw = None
             self._dev_t_cw = None
+            # frames still in flight carry packets computed against the
+            # PRE-adoption chain: attach the right-multiplicative actkey
+            # correction T_akw_old^-1 @ T_akw_new (composed if stacked)
+            R_c = (Rk_old.T @ Rk_new).astype(np.float32)
+            t_c = (Rk_old.T @ (tk_new - tk_old)).astype(np.float32)
+            for e in self._pending:
+                if e[5] is None:
+                    e[5] = (R_c, t_c)
+                else:
+                    R0, t0 = e[5]
+                    e[5] = ((R0 @ R_c).astype(np.float32),
+                            (R0 @ t_c + t0).astype(np.float32))
         for k in kf_ids:
             i = slot[k]
             self.pose_np[k] = (R_np[i].astype(np.float32),

@@ -320,6 +320,64 @@ class TestMonoVo:
         np.testing.assert_array_equal(np.asarray(fe_a.points.psi),
                                       psi_before)
 
+    def test_async_ba_corrects_inflight_frames(self):
+        """The clobber regression: an async window-BA adoption rebases the
+        tracking chain, and frames ALREADY IN FLIGHT (packets computed
+        against the pre-adoption chain) must receive the actkey correction
+        at consume. Checks (a) the write-back attaches a correction to
+        every pending entry, and (b) _consume composes it with the exact
+        right-multiplicative formula."""
+        import dataclasses
+
+        from scavislam_tpu.models.mono_frontend import MonoFrontend
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.3))
+        n = 19
+        seq = SyntheticSequence(CAM, n_frames=n, kind="forward_arc",
+                                step=0.035)
+        fe = MonoFrontend(CAM, cfg)
+        fe.process_first_frame(seq.frame(0))
+        for i in range(1, 13):
+            r = fe.process_frame_pipelined(seq.frame(i))
+            assert r is None or r[0]
+        assert fe.next_kf >= 2, "needs a keyframe for a window"
+
+        # (a) dispatch + force-adopt with frames in flight: every pending
+        # entry gets the actkey correction attached
+        assert fe.window_ba(window=5, iters=4, sync=False) == "dispatched"
+        assert len(fe._pending) > 0
+        assert fe.adopt_pending_ba(force=True)
+        assert all(e[5] is not None for e in fe._pending), (
+            "in-flight frames must carry the adoption correction")
+
+        # (b) the composition formula: the next consume applies
+        # T_cw' = T_cw_packet @ corr  (right-multiplicative SE3)
+        entry = fe._pending[0]
+        pk = entry[3].result()
+        R_pkt = pk[0:9].reshape(3, 3)
+        t_pkt = pk[9:12]
+        R_c, t_c = entry[5]
+        R_exp = R_pkt @ R_c
+        t_exp = R_pkt @ t_c + t_pkt
+        r = fe.process_frame_pipelined(seq.frame(13))
+        assert r is not None and r[0]
+        np.testing.assert_allclose(fe._R_cw, R_exp, atol=1e-6)
+        np.testing.assert_allclose(fe._t_cw, t_exp, atol=1e-6)
+
+        # and the run finishes healthy in the corrected gauge
+        for i in range(14, n):
+            r = fe.process_frame_pipelined(seq.frame(i))
+            assert r is None or r[0], f"lost at {i}"
+        for ok, _d, _f in fe.flush_pipeline():
+            assert ok
+        gt = [seq.frame(i)["T_cw_gt"] for i in range(n)]
+        paired = [(fid, T) for fid, T in fe.trajectory if fid < n]
+        assert ate_rmse_aligned(
+            paired, [gt[fid] for fid, _ in paired]) < 0.05
+
     def test_pipelined_matches_sync(self):
         """Pipelined mono loop (overlapped packed fetches): same sequence
         through both paths — every consumed frame succeeds and the

@@ -45,6 +45,11 @@ def main(argv=None):
                          "operating point 2.0; needs a ~20+ keyframe index)")
     ap.add_argument("--vocabulary",
                     help=".npz vocabulary from create_dictionary")
+    ap.add_argument("--watch", metavar="DIR",
+                    help="live observability: refresh the interactive 3-D "
+                         "map (map3d.html) + status.json in DIR every "
+                         "--watch-period seconds while running")
+    ap.add_argument("--watch-period", type=float, default=1.0)
     ap.add_argument("--save-system",
                     help="checkpoint the full mono state to .npz at the end")
     ap.add_argument("--load-system",
@@ -132,6 +137,45 @@ def main(argv=None):
                 "regauge": round(scales[det.query_id], 4),
             })
 
+    watch_state = None
+    if args.watch:
+        import os as _os
+
+        _os.makedirs(args.watch, exist_ok=True)
+        watch_state = {"dir": args.watch, "last": 0.0,
+                       "period": args.watch_period}
+
+    def watch_tick(n):
+        now = time.monotonic()
+        if now - watch_state["last"] < watch_state["period"]:
+            return
+        watch_state["last"] = now
+        import os as _os
+
+        from scavislam_tpu.apps.map3d import export_map_html
+
+        # graph-free scene (same shape the end-of-run viz builds)
+        import types as _types
+
+        verts = {k: _types.SimpleNamespace(R=v[0], t=v[1])
+                 for k, v in fe.pose_np.items()}
+        graph = _types.SimpleNamespace(vertices=verts, points={}, edges={})
+        try:
+            export_map_html(graph, trajectory=fe.trajectory,
+                            gt_poses=gt_poses or None,
+                            path=_os.path.join(watch_state["dir"],
+                                               "map3d.html"),
+                            actkey_id=fe.actkey_id)
+            tmp = _os.path.join(watch_state["dir"], "status.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"frame": n, "keyframes": fe.next_kf,
+                           "lost": lost[0], "relocalizations": relocs[0]},
+                          f)
+            _os.replace(tmp, _os.path.join(watch_state["dir"],
+                                           "status.json"))
+        except Exception:
+            pass
+
     t0 = time.perf_counter()
     n = 0
     lost = [False]
@@ -180,6 +224,8 @@ def main(argv=None):
                 break
             if dropped:
                 on_keyframe(fe.actkey_id, frame["left"])
+        if watch_state is not None:
+            watch_tick(n)
         n += 1
     if args.pipelined:
         for ok, dropped, _fid in fe.flush_pipeline():

@@ -128,6 +128,8 @@ def main():
                                        exposure_period=30.0)),
         ("vignette_0.3", Degradation(vignette=0.3)),
         ("vignette_0.6", Degradation(vignette=0.6)),
+        ("motion_blur_0.5", Degradation(motion_blur=0.5)),
+        ("motion_blur_1.0", Degradation(motion_blur=1.0)),
         ("occluder_15pct", Degradation(occluder_frac=0.15)),
         ("occluder_25pct", Degradation(occluder_frac=0.25)),
         ("combined_moderate", Degradation(noise_std=0.03, exposure_amp=0.10,

@@ -240,6 +240,24 @@ class TestDegradation:
         np.testing.assert_allclose(ex[interior] / cl[interior], 1.2,
                                    atol=1e-3)
 
+    def test_motion_blur_softens_gradients(self):
+        from scavislam_tpu.io.synthetic import Degradation, SyntheticSequence
+
+        cam = self._cam()
+        clean = np.asarray(SyntheticSequence(cam, n_frames=3).frame(1)["left"])
+        blurred = np.asarray(SyntheticSequence(
+            cam, n_frames=3,
+            degrade=Degradation(motion_blur=1.0)).frame(1)["left"])
+        gu = lambda im: np.abs(np.diff(im, axis=1)).mean()
+        gv = lambda im: np.abs(np.diff(im, axis=0)).mean()
+        ru = gu(blurred) / gu(clean)
+        rv = gv(blurred) / gv(clean)
+        # horizontal (motion-direction) gradients soften hard, and the blur
+        # is DIRECTIONAL: vertical gradients survive much better (the
+        # diagonal synthetic texture couples the axes, so compare ratios)
+        assert ru < 0.6, ru
+        assert rv > 1.5 * ru, (ru, rv)
+
     def test_occluder_consistent_geometry(self):
         from scavislam_tpu.io.synthetic import Degradation, SyntheticSequence
 

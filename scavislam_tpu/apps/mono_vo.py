@@ -17,10 +17,28 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+import types
 
 import numpy as np
+
+
+def _scene_graph(fe, with_points: bool = False):
+    """Graph-shaped view of a MonoFrontend for the shared visualization
+    paths (apps.visualize / apps.map3d expect .vertices/.points/.edges)."""
+    verts = {k: types.SimpleNamespace(R=v[0], t=v[1])
+             for k, v in fe.pose_np.items()}
+    pts = {}
+    if with_points:
+        lam = np.asarray(fe.Lam)[:, 2, 2]
+        anch = fe._meta_anchor
+        psi = np.asarray(fe.points.psi)
+        for pid in np.nonzero((anch >= 0) & (lam > fe.conv_q_info))[0]:
+            pts[int(pid)] = types.SimpleNamespace(
+                anchor_id=int(anch[pid]), psi=psi[pid])
+    return types.SimpleNamespace(vertices=verts, points=pts, edges={})
 
 
 def main(argv=None):
@@ -139,9 +157,7 @@ def main(argv=None):
 
     watch_state = None
     if args.watch:
-        import os as _os
-
-        _os.makedirs(args.watch, exist_ok=True)
+        os.makedirs(args.watch, exist_ok=True)
         watch_state = {"dir": args.watch, "last": 0.0,
                        "period": args.watch_period}
 
@@ -150,29 +166,21 @@ def main(argv=None):
         if now - watch_state["last"] < watch_state["period"]:
             return
         watch_state["last"] = now
-        import os as _os
-
         from scavislam_tpu.apps.map3d import export_map_html
 
-        # graph-free scene (same shape the end-of-run viz builds)
-        import types as _types
-
-        verts = {k: _types.SimpleNamespace(R=v[0], t=v[1])
-                 for k, v in fe.pose_np.items()}
-        graph = _types.SimpleNamespace(vertices=verts, points={}, edges={})
         try:
-            export_map_html(graph, trajectory=fe.trajectory,
+            export_map_html(_scene_graph(fe), trajectory=fe.trajectory,
                             gt_poses=gt_poses or None,
-                            path=_os.path.join(watch_state["dir"],
-                                               "map3d.html"),
+                            path=os.path.join(watch_state["dir"],
+                                              "map3d.html"),
                             actkey_id=fe.actkey_id)
-            tmp = _os.path.join(watch_state["dir"], "status.json.tmp")
+            tmp = os.path.join(watch_state["dir"], "status.json.tmp")
             with open(tmp, "w") as f:
                 json.dump({"frame": n, "keyframes": fe.next_kf,
                            "lost": lost[0], "relocalizations": relocs[0]},
                           f)
-            _os.replace(tmp, _os.path.join(watch_state["dir"],
-                                           "status.json"))
+            os.replace(tmp, os.path.join(watch_state["dir"],
+                                         "status.json"))
         except Exception:
             pass
 
@@ -287,19 +295,7 @@ def main(argv=None):
 
         save_trajectory_tum(fe.trajectory, args.out)
     if args.viz or args.viz_html:
-        # render through the graph-free path: build a minimal graph view
-        import types
-
-        verts = {k: types.SimpleNamespace(R=v[0], t=v[1])
-                 for k, v in fe.pose_np.items()}
-        pts = {}
-        lam = np.asarray(fe.Lam)[:, 2, 2]
-        anch = fe._meta_anchor
-        psi = np.asarray(fe.points.psi)
-        for pid in np.nonzero((anch >= 0) & (lam > fe.conv_q_info))[0]:
-            pts[int(pid)] = types.SimpleNamespace(
-                anchor_id=int(anch[pid]), psi=psi[pid])
-        graph = types.SimpleNamespace(vertices=verts, points=pts, edges={})
+        graph = _scene_graph(fe, with_points=True)
         if args.viz:
             from scavislam_tpu.apps.visualize import render_map_topdown
 

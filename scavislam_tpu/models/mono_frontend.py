@@ -22,9 +22,11 @@ from __future__ import annotations
 
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from scavislam_tpu.core.camera import StereoCamera
@@ -43,11 +45,6 @@ CAND_CAP = 512
 NEW_PER_LEVEL = (192, 64, 32)
 TRACKED_CAP = 512
 MIN_TRACK_OBS = 15
-
-
-from functools import partial  # noqa: E402
-
-import jax  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("iters",))

@@ -16,12 +16,14 @@ assembly and pose write-back (scalar, numpy).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from scavislam_tpu.core.lie import SE3, Sim3
+from scavislam_tpu.core.lie import Sim3, umeyama_sim3
 from scavislam_tpu.models.map_store import MAX_POINTS
 from scavislam_tpu.models.sim3_graph import optimize_sim3_pose_graph
 from scavislam_tpu.ops.ransac import ransac_sim3
@@ -123,8 +125,6 @@ def estimate_sim3(fe, kf_a: int, kf_b: int, inlier_thr: float = 1.5,
     if cnt < min_inliers:
         return None, cnt
     keep = np.asarray(inl) & valid
-    from scavislam_tpu.core.lie import umeyama_sim3
-
     s_r, R_r, t_r = umeyama_sim3(xb[keep], xa[keep])
     return Sim3(jnp.asarray(R_r), jnp.asarray(t_r), jnp.float32(s_r)), cnt
 
@@ -233,8 +233,6 @@ def _regauge_psi(psi, s_per_point):
 # --------------------------------------------------------------------- #
 # automatic loop DETECTION for mono: BoW retrieval + Sim3 verification
 # --------------------------------------------------------------------- #
-
-from dataclasses import dataclass  # noqa: E402
 
 
 @dataclass

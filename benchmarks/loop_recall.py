@@ -110,9 +110,17 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--random-vocab", action="store_true",
                     help="ablation: the random-projection fallback")
+    ap.add_argument("--vocab", default=None, metavar="PATH",
+                    help="evaluate a candidate vocabulary .npz (key "
+                         "'vocab') instead of the shipped default")
     args = ap.parse_args(argv)
 
-    vocab = random_vocabulary() if args.random_vocab else default_vocabulary()
+    if args.random_vocab:
+        vocab = random_vocabulary()
+    elif args.vocab:
+        vocab = np.load(args.vocab)["vocab"].astype(np.float32)
+    else:
+        vocab = default_vocabulary()
     n = args.frames
     res = [
         # 360-degree in-place spin: pure appearance loop at the wrap-around
@@ -129,7 +137,9 @@ def main(argv=None):
     agg_r = np.mean([r["recall"] for r in res])
     print(json.dumps({
         "metric": "loop_recall_at_reference_thresholds",
-        "vocabulary": "random" if args.random_vocab else "trained-4096",
+        "vocabulary": ("random" if args.random_vocab
+                       else args.vocab if args.vocab
+                       else f"trained-{len(vocab)}"),
         "mean_precision": round(float(agg_p), 3),
         "mean_recall": round(float(agg_r), 3),
     }))

@@ -38,22 +38,24 @@ def descriptors_for_image(img_f32, budget=1024):
     return np.asarray(desc)[keep]
 
 
-def synthetic_corpus_descriptors(verbose=True):
+def synthetic_corpus_descriptors(verbose=True, n_scenes=8,
+                                 frames_per_scene=16):
     """The canonical training corpus behind the SHIPPED
-    scavislam_tpu/data/vocabulary.npz: eight varied_box scenes (seeds 1-8,
-    texture phases disjoint from the benchmark scenes default_room and
-    closed_box) under mixed spin/orbit/forward trajectories, New College
-    geometry (512x384, f=389.96). Deterministic — rerunning this function
-    reproduces the artifact bit-for-bit."""
+    scavislam_tpu/data/vocabulary.npz: ``n_scenes`` varied_box scenes
+    (seeds 1..n_scenes, texture phases disjoint from the benchmark scenes
+    default_room and closed_box) under mixed spin/orbit/forward
+    trajectories, New College geometry (512x384, f=389.96). Deterministic —
+    rerunning this function with the same arguments reproduces the artifact
+    bit-for-bit (the shipped vocabulary used the defaults)."""
     from scavislam_tpu.core.camera import StereoCamera
     from scavislam_tpu.io.synthetic import SyntheticSequence, varied_box
 
     cam = StereoCamera.create(389.96, (254.9, 201.9), (512, 384), 0.12)
     descs = []
     kinds = ["spin", "orbit", "forward_arc", "out_and_back"]
-    for seed in range(1, 9):
+    for seed in range(1, n_scenes + 1):
         kind = kinds[(seed - 1) % len(kinds)]
-        n = 16
+        n = frames_per_scene
         step = 1.0 / (n - 1) if kind == "spin" else 0.04
         seq = SyntheticSequence(cam, n_frames=n, kind=kind,
                                 planes=varied_box(seed), step=step)
@@ -77,10 +79,16 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the canonical synthetic corpus (the "
                          "recipe that produced the shipped vocabulary.npz)")
+    ap.add_argument("--corpus-scenes", type=int, default=8,
+                    help="with --synthetic: number of varied_box scenes "
+                         "(default 8 = the shipped-artifact recipe)")
+    ap.add_argument("--corpus-frames", type=int, default=16,
+                    help="with --synthetic: frames per scene (default 16)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
-        desc = synthetic_corpus_descriptors()
+        desc = synthetic_corpus_descriptors(n_scenes=args.corpus_scenes,
+                                            frames_per_scene=args.corpus_frames)
         args.num_words = max(args.num_words, 4096)
     else:
         if not args.img_dir:

@@ -208,6 +208,13 @@ class FileGrabber:
                 bundle["error"] = str(e)
             if self.device_prefetch and "error" not in bundle:
                 left = bundle["left_u8"]
+                if not self.right_img and "disp" not in bundle:
+                    # mono stream (mono_vo): a single left uint8 plane —
+                    # half the tunnel traffic of the zero-padded stack
+                    bundle["left_fut"] = self._upload_pool.submit(
+                        _upload, _as_u8_gray(left))
+                    self._q.put(bundle)
+                    continue
                 right = bundle.get("right_u8", np.zeros_like(left))
                 if "disp" in bundle:
                     # external disparity rides a float stack (3, H, W) —
@@ -252,6 +259,8 @@ class FileGrabber:
             out["disp"] = b["disp"]
         if "stacked_fut" in b:
             out["stacked_dev"] = b["stacked_fut"].result()
+        if "left_fut" in b:
+            out["left_dev"] = b["left_fut"].result()
         return out
 
     def close(self):

@@ -54,6 +54,21 @@ class TestNativeIO:
         assert g.next_frame() is None
         g.close()
 
+    def test_grabber_mono_device_prefetch(self, dataset):
+        """right_img=False + device_prefetch uploads a single left uint8
+        plane (left_dev) — the mono_vo pipelined path; the stereo stacked
+        upload must NOT be built (no zero-padded right plane shipped)."""
+        g = FileGrabber(str(dataset), base_pattern="img_.*", fmt="pgm",
+                        right_img=False, device_prefetch=True)
+        for i in range(5):
+            f = g.next_frame()
+            assert "left_dev" in f and "stacked_dev" not in f
+            dev = np.asarray(f["left_dev"])
+            assert dev.dtype == np.uint8 and dev.shape == (48, 64)
+            np.testing.assert_array_equal(
+                dev, (f["left"] * 255.0 + 0.5).astype(np.uint8))
+        g.close()
+
     def test_disparity_reinterpret_roundtrip(self):
         d = np.random.RandomState(1).rand(8, 10).astype(np.float32) * 60
         raw = d.view(np.uint8).reshape(8, 10, 4)

@@ -133,7 +133,10 @@ def main(argv=None):
         run_scenario("double_spin", closed_box(), "spin", n,
                      2.0 / (n - 1), vocab),
     ]
-    agg_p = np.mean([r["precision"] for r in res if r["detections"]])
+    # a weak --vocab candidate can yield zero detections everywhere; guard
+    # the mean so the JSON stays valid (np.mean([]) would emit NaN)
+    ps = [r["precision"] for r in res if r["detections"]]
+    agg_p = np.mean(ps) if ps else 0.0
     agg_r = np.mean([r["recall"] for r in res])
     print(json.dumps({
         "metric": "loop_recall_at_reference_thresholds",

@@ -87,6 +87,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.synthetic:
+        if args.corpus_scenes < 1 or args.corpus_frames < 2:
+            raise SystemExit("--corpus-scenes must be >= 1 and "
+                             "--corpus-frames >= 2 (spin step = 1/(n-1))")
         desc = synthetic_corpus_descriptors(n_scenes=args.corpus_scenes,
                                             frames_per_scene=args.corpus_frames)
         args.num_words = max(args.num_words, 4096)

@@ -47,7 +47,11 @@ def _upload_ahead(frames, depth=4):
     FileGrabber(device_prefetch=True). Frames ship as uint8 (4x less tunnel
     traffic; mono_step normalizes on device). Without this the blocking
     per-frame f32 upload costs ~66 ms over the TPU tunnel and caps mono at
-    ~14 fps regardless of the 4 ms device step."""
+    ~14 fps regardless of the 4 ms device step.
+
+    Note the uint8 quantization makes --pipelined synthetic runs differ
+    from non-pipelined f32 runs by up to ~1/510 per pixel (real imagery is
+    8-bit anyway); reproduce sweep ATE numbers with the matching flag."""
     import concurrent.futures as cf
     from collections import deque
 

@@ -1,0 +1,174 @@
+"""TPU-vs-CPU trajectory parity — the BASELINE.json north-star as written.
+
+BASELINE.json requires "trajectory ATE within 1% of the CPU reference": the
+SAME sequence + seed + config run through the pipeline on the real TPU and on
+the CPU backend must produce trajectories whose ATE-vs-ground-truth differ by
+<= 1% relative. The pipelines are numerically identical programs, but the TPU
+compiles through a different XLA backend (and the environment's default
+matmul precision is bf16 — scavislam_tpu/__init__.py pins `highest`, which
+this benchmark also guards end-to-end).
+
+Method: frames are rendered ONCE (CPU subprocess) and saved as the uint8
+arrays both runs consume bit-identically, isolating pipeline-backend
+differences from renderer differences. Each backend runs in its own
+subprocess (the axon TPU backend is force-registered process-wide via
+PYTHONPATH sitecustomize, so backend selection is an env matter, not an API
+one), synchronous + unthreaded for determinism, and dumps its trajectory as
+JSON. The driver compares:
+
+  - ate_cpu, ate_tpu: translation ATE RMSE vs exact synthetic ground truth
+    (both trajectories share the first-frame gauge; no alignment), and their
+    relative difference |ate_tpu - ate_cpu| / ate_cpu  -> the 1% criterion;
+  - traj_rmse_m: direct RMSE between the two estimated trajectories
+    (stricter: pointwise backend divergence, not just aggregate-ATE
+    agreement).
+
+Run: python benchmarks/tpu_cpu_parity.py [--frames 80]  (driver mode; needs
+the TPU tunnel). Internal modes: --render / --run (subprocess entries).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REL_TOL = 0.01  # the north-star criterion
+
+
+def do_render(out_path: str, n: int) -> None:
+    from scavislam_tpu.apps.stereo_slam import build_camera
+    from scavislam_tpu.io.synthetic import SyntheticSequence
+    from scavislam_tpu.utils.config import Config
+
+    cam = build_camera(Config())
+    seq = SyntheticSequence(cam, n_frames=n, step=0.004)  # config-1 shape
+    lefts, rights, gts = [], [], []
+    for i in range(n):
+        f = seq.frame(i)
+        lefts.append((np.clip(np.asarray(f["left"]), 0, 1) * 255 + 0.5)
+                     .astype(np.uint8))
+        rights.append((np.clip(np.asarray(f["right"]), 0, 1) * 255 + 0.5)
+                      .astype(np.uint8))
+        g = f["T_cw_gt"]
+        from scavislam_tpu.core.lie import PoseRT
+
+        g = PoseRT.from_any(g)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3] = g.R, g.t
+        gts.append(T)
+    np.savez_compressed(out_path, left=np.stack(lefts),
+                        right=np.stack(rights), T_cw_gt=np.stack(gts))
+
+
+def do_run(frames_path: str, out_path: str) -> None:
+    import jax
+
+    from scavislam_tpu.apps.stereo_slam import build_camera
+    from scavislam_tpu.pipeline.slam_system import SlamSystem
+    from scavislam_tpu.utils.config import Config
+
+    data = np.load(frames_path)
+    left, right, gt = data["left"], data["right"], data["T_cw_gt"]
+    cfg = Config()
+    cam = build_camera(cfg)
+    system = SlamSystem(cam, cfg, threaded=False, enable_loop_closure=False,
+                        pipelined=False)
+    n = left.shape[0]
+    system.process_first_frame(
+        {"frame_id": 0, "left": left[0], "right": right[0]})
+    for i in range(1, n):
+        ok = system.process_frame(
+            {"frame_id": i, "left": left[i], "right": right[i]})
+        if not ok:
+            break
+    system.finish()
+    system.shutdown()
+    rows = []
+    for fid, T in system.trajectory:
+        M = np.eye(4)
+        M[:3, :3], M[:3, 3] = np.asarray(T.R), np.asarray(T.t)
+        rows.append({"frame_id": int(fid), "T_cw": M.tolist()})
+    with open(out_path, "w") as fh:
+        json.dump({"backend": jax.default_backend(),
+                   "keyframes": len(system.frontend.keyframe_map),
+                   "trajectory": rows}, fh)
+
+
+def _load_traj(path):
+    with open(path) as fh:
+        d = json.load(fh)
+    return d["backend"], {r["frame_id"]: np.asarray(r["T_cw"])
+                          for r in d["trajectory"]}, d["keyframes"]
+
+
+def _ate(traj: dict, gt: np.ndarray) -> float:
+    errs = []
+    for fid, T in traj.items():
+        E = T @ np.linalg.inv(gt[fid])
+        errs.append(E[:3, 3])
+    errs = np.stack(errs)
+    return float(np.sqrt((errs ** 2).sum(axis=1).mean()))
+
+
+def driver(n: int) -> int:
+    me = os.path.abspath(__file__)
+    with tempfile.TemporaryDirectory() as td:
+        fr = os.path.join(td, "frames.npz")
+        cpu_env = {k: v for k, v in os.environ.items()
+                   if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        cpu_env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([sys.executable, me, "--render", fr,
+                        "--frames", str(n)], env=cpu_env, check=True)
+        out = {}
+        for name, env in (("cpu", cpu_env), ("tpu", None)):
+            rp = os.path.join(td, f"traj_{name}.json")
+            subprocess.run([sys.executable, me, "--run", fr, rp],
+                           env=env, check=True, timeout=1800)
+            out[name] = _load_traj(rp)
+        gt = np.load(fr)["T_cw_gt"]
+
+    (be_c, tr_c, kf_c), (be_t, tr_t, kf_t) = out["cpu"], out["tpu"]
+    ate_c, ate_t = _ate(tr_c, gt), _ate(tr_t, gt)
+    common = sorted(set(tr_c) & set(tr_t))
+    diffs = np.stack([tr_t[f][:3, 3] - tr_c[f][:3, 3] for f in common])
+    traj_rmse = float(np.sqrt((diffs ** 2).sum(axis=1).mean()))
+    rel = abs(ate_t - ate_c) / max(ate_c, 1e-12)
+    print(json.dumps({
+        "metric": "tpu_vs_cpu_trajectory_parity",
+        "backends": [be_c, be_t],
+        "frames": n,
+        "keyframes": [kf_c, kf_t],
+        "ate_cpu_m": round(ate_c, 6),
+        "ate_tpu_m": round(ate_t, 6),
+        "ate_rel_diff": round(rel, 5),
+        "traj_rmse_m": round(traj_rmse, 6),
+        "within_1pct": bool(rel <= REL_TOL),
+    }))
+    return 0 if rel <= REL_TOL else 1
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--render", metavar="OUT_NPZ")
+    ap.add_argument("--run", nargs=2, metavar=("FRAMES_NPZ", "OUT_JSON"))
+    args = ap.parse_args(argv)
+    if args.render:
+        do_render(args.render, args.frames)
+        return 0
+    if args.run:
+        do_run(*args.run)
+        return 0
+    return driver(args.frames)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,6 +56,28 @@ def _resolve_solve_device(index: int):
         return None
     return devs[index]
 
+
+def _resolve_solve_mesh(n: int):
+    """graph.solve_mesh device count -> a (dp=1, sp=n) Mesh (None = off).
+
+    Falls back to the single-device solve with a warning when fewer
+    devices exist (configs are shared across hosts)."""
+    if n is None or n <= 1:
+        return None
+    import jax
+
+    devs = jax.devices()
+    if n > len(devs):
+        import sys
+
+        print(f"backend: graph.solve_mesh={n} but only {len(devs)} "
+              "device(s) present; single-device solve", file=sys.stderr)
+        return None
+    from scavislam_tpu.parallel.multistream import make_mesh
+
+    return make_mesh(n, dp=1)
+
+
 NB_MAX_NEIGHBORS = 10  # backend.cpp:244-386 caps the neighborhood at 10
 REG_EXTRA_FRAMES = 40  # framesInNeighborhood(+40), backend.cpp:190-199
 MIN_LOOP_MATCHES = 25
@@ -87,6 +109,7 @@ class Backend:
                 self.cfg.graph.inner_window + self.cfg.graph.outer_window
             ),
             solve_device=_resolve_solve_device(self.cfg.graph.solve_device),
+            solve_mesh=_resolve_solve_mesh(self.cfg.graph.solve_mesh),
         )
         self.monitor = monitor or BackendMonitor()
         self.place_monitor = place_monitor

@@ -188,6 +188,7 @@ class SlamGraph:
         double_window_size: int = 115,
         ba_capacity=(128, 2048, 8192, 512),
         solve_device=None,
+        solve_mesh=None,
     ):
         self.cam = cam
         # jax.Device (or None = default): where the DWO solve runs. On a
@@ -196,6 +197,10 @@ class SlamGraph:
         # analogue of the reference's dedicated backend thread); the packed
         # one-transfer problem upload/fetch makes placement free.
         self.solve_device = solve_device
+        # jax.sharding.Mesh with an "sp" axis (or None): shard the DWO
+        # solve's observation axis over the mesh — see
+        # _sharded_packed_solver. Mutually exclusive with solve_device.
+        self.solve_mesh = solve_mesh
         self.covis_thr = covis_thr
         self.inner_window_size = inner_window_size
         self.double_window_size = double_window_size
@@ -664,11 +669,19 @@ class SlamGraph:
                       self.cam.baseline)
 
         t0 = time.perf_counter()
-        buf_dev = (jax.device_put(buf, self.solve_device)
-                   if self.solve_device is not None else jnp.asarray(buf))
-        R_new, t_new, psi_new, stats = _solve_packed(
-            cam_params, buf_dev, (P, L, O, E), num_iters, huber,
-        )
+        if self.solve_mesh is not None:
+            solver = _sharded_packed_solver(
+                self.solve_mesh,
+                tuple(float(x) for x in cam_params),
+                (P, L, O, E), num_iters, float(huber),
+            )
+            R_new, t_new, psi_new, stats = solver(jnp.asarray(buf))
+        else:
+            buf_dev = (jax.device_put(buf, self.solve_device)
+                       if self.solve_device is not None else jnp.asarray(buf))
+            R_new, t_new, psi_new, stats = _solve_packed(
+                cam_params, buf_dev, (P, L, O, E), num_iters, huber,
+            )
         # ONE packed fetch for everything (each fetch is a link round-trip),
         # pulled by a worker thread so dispatch never blocks on the link
         packed_dev = jnp.concatenate([
@@ -805,13 +818,11 @@ class SlamGraph:
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("caps", "num_iters", "huber"))
-def _solve_packed(cam_params, buf, caps, num_iters, huber):
-    """Unpack the single transfer buffer into a BAProblem on device and solve.
-
-    The int32 section rides the same f32 buffer bit-for-bit (host packs with
-    ``.view(np.float32)``; we bitcast back here) — a remote-chip link charges
-    a full round-trip per array, so one buffer beats two."""
+def _unpack_problem(buf, caps):
+    """Unpack the single transfer buffer into a (BAProblem, anchor_perm) on
+    device. The int32 section rides the same f32 buffer bit-for-bit (host
+    packs with ``.view(np.float32)``; we bitcast back here) — a remote-chip
+    link charges a full round-trip per array, so one buffer beats two."""
     P, L, O, E = caps
     n_int = L + 3 * O + 2 * E
     fbuf = jax.lax.dynamic_slice_in_dim(buf, 0, buf.shape[0] - n_int)
@@ -858,8 +869,66 @@ def _solve_packed(cam_params, buf, caps, num_iters, huber):
         obs_pose, obs_point, obs_uvu, obs_w, obs_valid,
         e_i, e_j, e_R, e_t, e_info, e_valid,
     )
+    return prob, aperm
+
+
+@_partial(jax.jit, static_argnames=("caps", "num_iters", "huber"))
+def _solve_packed(cam_params, buf, caps, num_iters, huber):
+    """Single-device packed DWO solve (see _unpack_problem)."""
+    prob, aperm = _unpack_problem(buf, caps)
     return solve_ba(cam_params, prob, iters=num_iters, huber=huber,
                     anchor_perm=aperm)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _sharded_packed_solver(mesh, cam_params, caps, num_iters, huber,
+                           axis="sp"):
+    """Mesh-sharded twin of `_solve_packed`: the packed problem buffer is
+    replicated (ONE upload), each shard unpacks it and slices its own chunk
+    of the OBSERVATION axis, builds partial normal equations, and one `psum`
+    over `axis` assembles the full Schur system (which every shard then
+    factorizes redundantly — the reduced camera system is tiny next to the
+    linearization work). Outputs are replicated and identical across shards.
+
+    This is the multi-chip scaling path of the live backend (no reference
+    analogue: single-node g2o, slam_graph.cpp:319-355) — enabled via
+    `SlamGraph(solve_mesh=...)` / config key `graph.solve_mesh`. The sorted
+    anchor-scatter permutation is global to the obs axis and does not
+    survive per-shard slicing, so the sharded path uses the unsorted
+    anchor scatter (the psum dominates the difference anyway)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as _P
+
+    n = mesh.shape[axis]
+    P_, L_, O_, E_ = caps
+    assert O_ % n == 0, (
+        f"obs capacity {O_} must divide the {axis}-axis size {n}")
+    k = O_ // n
+
+    def local(buf):
+        prob, _ = _unpack_problem(buf, caps)
+        i = jax.lax.axis_index(axis)
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, i * k, k)
+
+        prob = prob._replace(
+            obs_pose=sl(prob.obs_pose), obs_point=sl(prob.obs_point),
+            obs_uvu=sl(prob.obs_uvu), obs_weight=sl(prob.obs_weight),
+            obs_valid=sl(prob.obs_valid),
+        )
+        return solve_ba(cam_params, prob, iters=num_iters, huber=huber,
+                        sp_axis=axis)
+
+    sm = shard_map(local, mesh=mesh, in_specs=(_P(),), out_specs=_P(),
+                   check_vma=False)
+    return jax.jit(sm)
 
 
 # -- small numpy SE3 helpers (host hot path avoids jax dispatch) ------------ #

@@ -73,6 +73,12 @@ class GraphConfig:
     # thread on its own CPU core (backend.cpp thread loop). No reference
     # .cfg key (single-GPU era); accepted as `graph.solve_device`.
     solve_device: int = -1
+    # Number of devices to shard the DWO solve's OBSERVATION axis over
+    # (partial normal equations per shard + one psum over ICI — see
+    # slam_graph._sharded_packed_solver). 0/1 = single-device solve.
+    # Ignored (with a warning) when fewer devices exist. No reference
+    # .cfg key (single-node g2o era); accepted as `graph.solve_mesh`.
+    solve_mesh: int = 0
 
 
 @dataclass(frozen=True)

@@ -267,3 +267,63 @@ class TestMultistreamMono:
                                        r[:34 + 4 * C], atol=1e-4)
             np.testing.assert_allclose(packed_b[s][34 + 4 * C:],
                                        r[34 + 4 * C:], rtol=1e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+class TestShardedBALiveRun:
+    """graph.solve_mesh wires the sharded DWO solve (obs axis psum over
+    "sp") into a LIVE SlamSystem run: the trajectory must match the
+    single-device solve's to float-reduction tolerance. Exact bit-equality
+    is impossible by construction: the psum reassociates the normal-equation
+    additions. One solve on one problem matches to <=1e-6 (the standalone
+    TestShardedBA check); in a LIVE run each solve feeds the next through
+    the neighborhood->frontend->tracking loop, so the reduction noise
+    amplifies to a measured ~3e-5 over 30 frames — still 100x below the
+    trajectory's own ATE (~5 mm)."""
+
+    def _run(self, solve_mesh_n):
+        import dataclasses
+
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+        from scavislam_tpu.pipeline.slam_system import SlamSystem
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg,
+            frontend=dataclasses.replace(cfg.frontend, covis_thr=10),
+            ui=dataclasses.replace(cfg.ui, parallax_thr=0.25),
+            graph=dataclasses.replace(cfg.graph, inner_window=5,
+                                      outer_window=20,
+                                      solve_mesh=solve_mesh_n),
+        )
+        n = 30
+        seq = SyntheticSequence(CAM, n_frames=n, step=0.02)
+        system = SlamSystem(CAM, cfg, threaded=False,
+                            enable_loop_closure=False)
+        frames = [seq.frame(i) for i in range(n)]
+        system.process_first_frame(frames[0])
+        for f in frames[1:]:
+            assert system.process_frame(dict(f))
+        system.finish()
+        poses = {k: (v.R.copy(), v.t.copy())
+                 for k, v in system.backend.graph.vertices.items()}
+        traj = [(fid, np.asarray(T.R), np.asarray(T.t))
+                for fid, T in system.trajectory]
+        n_solves = system.backend.graph.stats.get("n_solves", None)
+        system.shutdown()
+        return poses, traj, system.backend.graph.solve_mesh
+
+    def test_live_run_matches_single_device(self):
+        poses1, traj1, mesh1 = self._run(0)
+        poses8, traj8, mesh8 = self._run(8)
+        assert mesh1 is None
+        assert mesh8 is not None and mesh8.shape["sp"] == 8
+        assert poses1.keys() == poses8.keys() and len(poses1) >= 2
+        for k in poses1:
+            np.testing.assert_allclose(poses1[k][0], poses8[k][0], atol=2e-4)
+            np.testing.assert_allclose(poses1[k][1], poses8[k][1], atol=2e-4)
+        assert len(traj1) == len(traj8)
+        for (f1, R1, t1), (f8, R8, t8) in zip(traj1, traj8):
+            assert f1 == f8
+            np.testing.assert_allclose(t1, t8, atol=2e-4)

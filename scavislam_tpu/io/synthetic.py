@@ -97,6 +97,92 @@ def varied_box(seed: int) -> list[Plane]:
     ]
 
 
+class Box(NamedTuple):
+    """Free-standing axis-aligned textured box (true interior occlusion
+    boundaries: its silhouette writes depth discontinuities INSIDE the
+    image, which textured planes alone never produce — the gap called out
+    by the reference's real-imagery validation workload,
+    /root/reference/README:181-197)."""
+
+    lo: jnp.ndarray  # (3,) min corner, world frame
+    hi: jnp.ndarray  # (3,) max corner
+    tex_phase: jnp.ndarray
+
+
+class Sphere(NamedTuple):
+    """Free-standing textured sphere (curved occlusion boundary + smoothly
+    varying depth — exercises the matcher's depth-ratio gate and the dense
+    tracker's clamp at depth edges)."""
+
+    center: jnp.ndarray  # (3,)
+    radius: jnp.ndarray  # scalar
+    tex_phase: jnp.ndarray
+
+
+def cluttered_room(seed: int = 0, n_boxes: int = 3,
+                   n_spheres: int = 2) -> list:
+    """default_room plus free-standing boxes and spheres at distinct depths
+    in front of the camera: renders contain interior occlusion boundaries,
+    depth discontinuities, and background-revealing parallax. Placement is
+    drawn from ``seed`` but kept inside the forward-arc viewing frustum and
+    clear of the camera path (z >= 1.6, the trajectory advances ~1 m)."""
+    f32 = jnp.float32
+    rng = np.random.RandomState(seed + 101)
+    prims: list = list(default_room())
+    for k in range(n_boxes):
+        cx = float(rng.uniform(-1.6, 2.2))
+        cy = float(rng.uniform(-0.4, 1.0))
+        cz = float(rng.uniform(1.8, 4.6))
+        s = rng.uniform(0.18, 0.45, size=3)
+        prims.append(Box(
+            jnp.array([cx - s[0], cy - s[1], cz - s[2]], f32),
+            jnp.array([cx + s[0], cy + s[1], cz + s[2]], f32),
+            jnp.array(float(rng.uniform(40, 80)), f32),
+        ))
+    for k in range(n_spheres):
+        cx = float(rng.uniform(-1.2, 2.0))
+        cy = float(rng.uniform(-0.3, 0.9))
+        cz = float(rng.uniform(1.6, 4.2))
+        prims.append(Sphere(
+            jnp.array([cx, cy, cz], f32),
+            jnp.array(float(rng.uniform(0.18, 0.4)), f32),
+            jnp.array(float(rng.uniform(40, 80)), f32),
+        ))
+    return prims
+
+
+# skew texture-projection axes for curved/boxed primitives: no face or
+# viewing direction is degenerate under either projection
+_TEX_A1 = np.array([0.90, 0.45, 0.20], np.float32)
+_TEX_A2 = np.array([0.20, 0.80, -0.55], np.float32)
+
+
+def _intersect_box(origin_w, dirs_w, box: Box):
+    """Slab-method ray/AABB: returns entry t (inf on miss)."""
+    d = jnp.where(jnp.abs(dirs_w) < 1e-9, 1e-9, dirs_w)
+    t1 = (box.lo - origin_w) / d
+    t2 = (box.hi - origin_w) / d
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= tmin) & (tmin > 0.1)
+    return jnp.where(hit, tmin, jnp.inf)
+
+
+def _intersect_sphere(origin_w, dirs_w, sp: Sphere):
+    """Nearest positive ray/sphere intersection (inf on miss)."""
+    oc = origin_w - sp.center
+    a = jnp.sum(dirs_w * dirs_w, axis=-1)
+    b = 2.0 * jnp.einsum("...i,i->...", dirs_w, oc)
+    c = jnp.dot(oc, oc) - sp.radius * sp.radius
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / (2.0 * a)
+    t1 = (-b + sq) / (2.0 * a)
+    t = jnp.where(t0 > 0.1, t0, t1)
+    hit = (disc > 0.0) & (t > 0.1)
+    return jnp.where(hit, t, jnp.inf)
+
+
 def _hash_lattice(ix, iy, phase):
     """Pseudo-random value in [0,1) at integer lattice points (sin hash)."""
     h = jnp.sin(ix * 12.9898 + iy * 78.233 + phase * 37.719) * 43758.5453
@@ -243,13 +329,23 @@ def _render_view(planes, T_cw: SE3, cam: StereoCamera, eye_offset: float):
     best_t = jnp.full((h, w), jnp.inf, jnp.float32)
     img = jnp.zeros((h, w), jnp.float32)
     for p in planes:
-        denom = jnp.einsum("hwi,i->hw", dirs_w, p.normal)
-        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-        t = (p.offset - jnp.dot(origin_w, p.normal)) / denom
-        hit = (t > 0.1) & (t < best_t)
-        pt = origin_w + t[..., None] * dirs_w
-        tu = jnp.einsum("hwi,i->hw", pt, p.tex_u)
-        tv = jnp.einsum("hwi,i->hw", pt, p.tex_v)
+        if isinstance(p, Plane):
+            denom = jnp.einsum("hwi,i->hw", dirs_w, p.normal)
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            t = (p.offset - jnp.dot(origin_w, p.normal)) / denom
+            t = jnp.where(t > 0.1, t, jnp.inf)
+            tex_u, tex_v = p.tex_u, p.tex_v
+        elif isinstance(p, Box):
+            t = _intersect_box(origin_w, dirs_w, p)
+            tex_u, tex_v = jnp.asarray(_TEX_A1), jnp.asarray(_TEX_A2)
+        else:  # Sphere
+            t = _intersect_sphere(origin_w, dirs_w, p)
+            tex_u, tex_v = jnp.asarray(_TEX_A1), jnp.asarray(_TEX_A2)
+        hit = t < best_t
+        t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+        pt = origin_w + t_safe[..., None] * dirs_w
+        tu = jnp.einsum("hwi,i->hw", pt, tex_u)
+        tv = jnp.einsum("hwi,i->hw", pt, tex_v)
         tex = _texture(tu * 4.0, tv * 4.0, p.tex_phase)
         img = jnp.where(hit, tex, img)
         best_t = jnp.where(hit, t, best_t)

@@ -136,3 +136,36 @@ class TestRgbdReplay:
             errs.append(np.linalg.norm(
                 np.asarray((T @ gtmap[fid].inverse()).t)))
         assert float(np.sqrt(np.mean(np.square(errs)))) < 0.03
+
+
+@pytest.mark.slow
+class TestClutteredSceneTracking:
+    """Full pipelined stereo tracking through a NON-PLANAR scene
+    (io/synthetic.cluttered_room: free-standing boxes/spheres): interior
+    occlusion boundaries and depth discontinuities must not break the
+    LR-checked disparity, the matcher depth-ratio gate, or the dense
+    tracker's clamp (VERDICT r2 missing-item 1)."""
+
+    def test_tracks_with_interior_occlusions(self):
+        from scavislam_tpu.io.synthetic import cluttered_room
+        from scavislam_tpu.pipeline.slam_system import ate_rmse
+
+        n = 20
+        seq = SyntheticSequence(CAM, n_frames=n, step=0.01,
+                                planes=cluttered_room(0))
+        system = SlamSystem(CAM, small_cfg(), threaded=False,
+                            enable_loop_closure=False, pipelined=True,
+                            pipeline_depth=2)
+        frames = [seq.frame(i) for i in range(n)]
+        system.process_first_frame(frames[0])
+        for f in frames[1:]:
+            assert system.process_frame(dict(f)), (
+                f"tracking lost at frame {f['frame_id']}")
+        system.finish()
+        system.shutdown()
+        gt = [f["T_cw_gt"] for f in frames]
+        pairs = [(fid, T) for fid, T in system.trajectory
+                 if 0 <= int(fid) < n]
+        ate = ate_rmse(pairs, [gt[int(fid)] for fid, _ in pairs])
+        assert len(pairs) >= n - 2
+        assert ate < 0.03, f"cluttered-scene ATE {ate}"

@@ -80,6 +80,34 @@ def record(frames, out_dir: str, with_disp=True):
     return n
 
 
+def record_live(grabber, out_dir: str, n_frames: int,
+                timeout: float = 60.0) -> int:
+    """Record from a polled RgbdGrabber — the reference's dump_rgbd main
+    loop (dump_rgbd.cpp:69-126): poll the latest-value camera monitor, hand
+    each new frame to the background FileWriter. Frames arriving between
+    polls are dropped by the grabber (reference semantics); frame ids are
+    assigned at RECORD time, like the reference's counter."""
+    import time
+
+    w = FileWriter(out_dir)
+    n = 0
+    t0 = time.time()
+    try:
+        while n < n_frames and time.time() - t0 < timeout:
+            f = grabber.getFrame()
+            if f is None:
+                time.sleep(0.002)
+                continue
+            rgb, disp = f
+            left = (rgb if rgb.dtype == np.uint8
+                    else (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8))
+            w.push(n, left, None, np.asarray(disp, np.float32))
+            n += 1
+    finally:
+        w.close()
+    return n
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out_dir")
@@ -87,6 +115,16 @@ def main(argv=None):
     ap.add_argument("--step", type=float, default=0.02)
     ap.add_argument("--config", help="reference-format .cfg (camera; the "
                                      "reference's dump_rgbd takes one too)")
+    ap.add_argument("--source", default="synthetic",
+                    help="synthetic (default: render directly to disk) | "
+                         "live (poll an RgbdGrabber fed by a synthetic "
+                         "camera — the reference's live dump_rgbd loop with "
+                         "the OpenNI callback replaced, no camera SDK in "
+                         "this environment) | dir:PATH (re-record an "
+                         "existing dump replayed as a live source)")
+    ap.add_argument("--fps", type=float, default=30.0,
+                    help="live-source capture rate (frames between polls "
+                         "are dropped, latest-value semantics)")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -99,10 +137,46 @@ def main(argv=None):
         cfg.cam.f, (cfg.cam.px, cfg.cam.py),
         (cfg.cam.width, cfg.cam.height), cfg.cam.baseline,
     )
-    from scavislam_tpu.io.synthetic import SyntheticSequence
 
-    seq = SyntheticSequence(cam, n_frames=args.n_frames, step=args.step)
-    n = record(iter(seq), args.out_dir)
+    if args.source == "synthetic":
+        from scavislam_tpu.io.synthetic import SyntheticSequence
+
+        seq = SyntheticSequence(cam, n_frames=args.n_frames, step=args.step)
+        n = record(iter(seq), args.out_dir)
+    elif args.source == "live" or args.source.startswith("dir:"):
+        from scavislam_tpu.io.rgbd_grabber import (
+            RgbdGrabber,
+            directory_source,
+        )
+
+        if args.source == "live":
+            from scavislam_tpu.io.synthetic import SyntheticSequence
+
+            seq = SyntheticSequence(cam, n_frames=args.n_frames,
+                                    step=args.step)
+            state = {"i": 0}
+
+            def camera():
+                i = state["i"]
+                if i >= args.n_frames:
+                    return None  # a real camera never ends the stream
+                f = seq.frame(i)
+                state["i"] += 1
+                left = (np.clip(np.asarray(f["left"]), 0, 1) * 255
+                        + 0.5).astype(np.uint8)
+                return left, np.asarray(f["disp_gt"], np.float32)
+
+            source = camera
+        else:
+            source = directory_source(args.source[4:])
+        grabber = RgbdGrabber()
+        grabber.start(source, fps=args.fps)
+        try:
+            n = record_live(grabber, args.out_dir, args.n_frames)
+        finally:
+            grabber.stop()
+    else:
+        ap.error(f"unknown --source {args.source!r}")
     print(f"wrote {n} frames to {args.out_dir}")
 
 

@@ -34,6 +34,114 @@ def build_camera(cfg: Config) -> StereoCamera:
     )
 
 
+def run_streams(args, cfg: Config, cam: StereoCamera):
+    """N concurrent synthetic streams, end-to-end: per-stream keyframe
+    policy + map on the host, ONE batched fused device program + ONE packed
+    fetch per tick for all streams (parallel.stream_pool.StreamPool).
+
+    Each stream tracks a DIFFERENT scene (default_room for stream 0,
+    varied_box(seed=s) beyond) on the forward-arc trajectory, so per-stream
+    trajectories/ATEs are independent results, not replicas. Prints one JSON
+    summary (aggregate fps + per-stream ATE/keyframes) and writes one
+    trajectory file per stream next to --out."""
+    import os
+    import time
+
+    from scavislam_tpu.io.synthetic import (
+        SyntheticSequence,
+        default_room,
+        varied_box,
+    )
+    from scavislam_tpu.parallel.stream_pool import StreamPool
+    from scavislam_tpu.pipeline.slam_system import ate_rmse
+
+    B = args.streams
+    n = args.synthetic or 60
+    if not args.synthetic:
+        print("--streams currently drives synthetic sequences; "
+              f"defaulting to --synthetic {n}", file=sys.stderr)
+
+    mesh = None
+    if args.streams_mesh != 0:
+        import jax
+
+        ndev = len(jax.devices())
+        want = args.streams_mesh if args.streams_mesh > 0 else ndev
+        if want > 1 and B % want == 0:
+            from scavislam_tpu.parallel.multistream import make_mesh
+
+            mesh = make_mesh(want, dp=want)  # pure data parallel (sp=1)
+
+    # pre-render every stream's frames to host uint8 once: rendering is
+    # jitted on the default backend, and fetching B frames per tick over
+    # the TPU tunnel would serialize a link round-trip per stream
+    seqs = [
+        SyntheticSequence(
+            cam, n_frames=n, step=args.synthetic_step,
+            planes=default_room() if s == 0 else varied_box(s),
+        )
+        for s in range(B)
+    ]
+    gt = [[] for _ in range(B)]
+    frames_u8 = []  # [i][s] -> frame dict
+    for i in range(n):
+        tick = []
+        for s in range(B):
+            f = seqs[s].frame(i)
+            gt[s].append(f["T_cw_gt"])
+            tick.append({
+                "frame_id": i,
+                "left": (np.clip(np.asarray(f["left"]), 0, 1) * 255 + 0.5)
+                .astype(np.uint8),
+                "right": (np.clip(np.asarray(f["right"]), 0, 1) * 255 + 0.5)
+                .astype(np.uint8),
+            })
+        frames_u8.append(tick)
+
+    pool = StreamPool(cam, cfg, n_streams=B, mesh=mesh,
+                      pipeline_depth=args.pipeline_depth or 2)
+    pool.process_first_frames(frames_u8[0])
+    # warm the remaining programs (consume path + spawn) before timing
+    warm = min(4, n - 1)
+    for i in range(1, 1 + warm):
+        pool.process_frames(frames_u8[i])
+    t0 = time.perf_counter()
+    for i in range(1 + warm, n):
+        pool.process_frames(frames_u8[i])
+    pool.finish()
+    dt = time.perf_counter() - t0
+    timed = max(n - 1 - warm, 1)
+
+    stem, ext = os.path.splitext(args.out)
+    per_stream = []
+    for s in range(B):
+        traj = pool.trajectories[s]
+        rows = [np.concatenate([[fid], T.t, T.log()[3:]])
+                for fid, T in traj]
+        np.savetxt(f"{stem}_s{s}{ext or '.txt'}", np.asarray(rows))
+        pairs = [(fid, T) for fid, T in traj if 0 <= int(fid) < n]
+        ate = ate_rmse(pairs, [gt[s][int(fid)] for fid, _ in pairs])
+        per_stream.append({
+            "stream": s,
+            "alive": bool(pool.alive[s]),
+            "frames": len(traj),
+            "keyframes": int(pool.fes[s].next_kf),
+            "ate_rmse_m": round(float(ate), 5),
+        })
+
+    summary = {
+        "streams": B,
+        "mesh": None if mesh is None else
+        {ax: int(sz) for ax, sz in mesh.shape.items()},
+        "frames_per_stream": n,
+        "aggregate_fps": round(B * timed / dt, 1),
+        "per_stream_fps": round(timed / dt, 1),
+        "per_stream": per_stream,
+    }
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", nargs="?", help="reference-format .cfg file")
@@ -86,10 +194,22 @@ def main(argv=None):
                          "reference's Pangolin GUI + Vars)")
     ap.add_argument("--watch-period", type=float, default=1.0,
                     help="watch refresh period in seconds (also live-tunable)")
+    ap.add_argument("--streams", type=int, default=0,
+                    help="run N concurrent synthetic streams through ONE "
+                         "batched device program (parallel.stream_pool): "
+                         "per-stream keyframe maps + trajectories + ATEs, "
+                         "one packed fetch per tick for all streams")
+    ap.add_argument("--streams-mesh", type=int, default=-1,
+                    help="shard the stream batch over a dp-mesh of this many "
+                         "devices (-1: auto — all devices when streams divide "
+                         "evenly; 0: force single-device)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else Config()
     cam = build_camera(cfg)
+
+    if args.streams:
+        return run_streams(args, cfg, cam)
 
     vocab = None
     if args.vocabulary:

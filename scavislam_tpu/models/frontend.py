@@ -305,13 +305,21 @@ class StereoFrontend:
 
     def process_first_frame(self, frame: dict):
         """Bootstrap: frame 0 becomes the first keyframe at the origin."""
-        self.frame_id = frame.get("frame_id", 0)
         h, w = np.asarray(frame["left"]).shape
         (self._prev_clouds, self._prev_intens, self._prev_valids,
          self._prev_J) = self._empty_prev_state((h, w))
         cand_ids = np.full(CAND_CAP, -1, np.int64)
+        self.frame_id = frame.get("frame_id", 0)
         out = self._run_step(frame, cand_ids)
+        pkt = self.bootstrap_first(out, frame)
+        self._roll(out)
+        return pkt
 
+    def bootstrap_first(self, out: FrontendStepOut, frame: dict):
+        """First-keyframe bookkeeping given an already-run step output (the
+        step may have been executed externally, e.g. as one row of a batched
+        multi-stream program — parallel.stream_pool)."""
+        self.frame_id = frame.get("frame_id", 0)
         kf_id = self._new_keyframe_id()
         T_kw = frame.get("T_cw_init", SE3.identity())
         T_np = (np.asarray(T_kw.R, np.float32), np.asarray(T_kw.t, np.float32))
@@ -337,7 +345,6 @@ class StereoFrontend:
             points_snapshot=self.points, poses_snapshot=self.poses,
         )
         self.to_optimizer_stack.append(pkt)
-        self._roll(out)
         return pkt
 
     def process_frame(self, frame: dict):

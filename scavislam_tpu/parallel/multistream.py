@@ -193,7 +193,8 @@ def build_sharded_ba(mesh: Mesh, cam_params, iters: int = 2,
 
 
 def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
-                               num_disp=64, zmssd_thr=0.18):
+                               num_disp=64, zmssd_thr=0.18,
+                               max_reproj=2.0):
     """The FULL fused per-frame frontend step (preprocess -> stereo ->
     dense tracking -> corners -> guided matching -> motion BA -> policy
     stats -> next cloud state) vmapped over a stream batch, optionally
@@ -230,7 +231,7 @@ def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
         return frontend_step(
             frames, clouds, intens, valids, Js, R, t, ak, poses, points,
             cand, cam_params, cam_statics, levels, num_disp, use_pallas,
-            2.0, zmssd_thr, 1,
+            max_reproj, zmssd_thr, 1,
         )
 
     def vstep(frames, clouds, intens, valids, Js, R, t, ak, poses, points,

@@ -327,3 +327,75 @@ class TestShardedBALiveRun:
         for (f1, R1, t1), (f8, R8, t8) in zip(traj1, traj8):
             assert f1 == f8
             np.testing.assert_allclose(t1, t8, atol=2e-4)
+
+
+@pytest.mark.slow
+class TestStreamPool:
+    """StreamPool: N live VO streams through ONE batched device program with
+    per-stream host keyframe policy (the product surface over
+    build_multistream_frontend)."""
+
+    def test_two_streams_end_to_end(self):
+        import dataclasses
+
+        from scavislam_tpu.io.synthetic import (
+            SyntheticSequence,
+            default_room,
+            varied_box,
+        )
+        from scavislam_tpu.parallel.stream_pool import StreamPool
+        from scavislam_tpu.pipeline.slam_system import ate_rmse
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        # low parallax threshold so keyframe spawns happen mid-run (the
+        # deferred spawn + epoch-guard paths must run in pool mode)
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.1))
+        n, B = 14, 2
+        seqs = [
+            SyntheticSequence(
+                CAM, n_frames=n, step=0.02,
+                planes=default_room() if s == 0 else varied_box(1))
+            for s in range(B)
+        ]
+        gt = [[] for _ in range(B)]
+        ticks = []
+        for i in range(n):
+            tick = []
+            for s in range(B):
+                f = seqs[s].frame(i)
+                gt[s].append(f["T_cw_gt"])
+                tick.append({
+                    "frame_id": i,
+                    "left": np.asarray(f["left"]),
+                    "right": np.asarray(f["right"]),
+                })
+            ticks.append(tick)
+
+        mesh = make_mesh(2, dp=2)  # 1 stream/device over 2 of the 8 devices
+        pool = StreamPool(CAM, cfg, n_streams=B, mesh=mesh,
+                          pipeline_depth=2)
+        pool.process_first_frames(ticks[0])
+        for i in range(1, n):
+            pool.process_frames(ticks[i])
+        pool.finish()
+
+        for s in range(B):
+            assert pool.alive[s], f"stream {s} lost tracking"
+            traj = pool.trajectories[s]
+            assert len(traj) == n
+            # mid-run keyframes actually spawned (deferred spawn path)
+            assert pool.fes[s].next_kf >= 2, (
+                f"stream {s}: no mid-run keyframe")
+            pairs = [(fid, T) for fid, T in traj]
+            ate = ate_rmse(pairs, [gt[s][int(fid)] for fid, _ in pairs])
+            assert ate < 0.05, f"stream {s} ATE {ate}"
+        # streams tracked DIFFERENT scenes: trajectories must differ in
+        # estimate (same gt trajectory, different scenes -> different noise)
+        t_end0 = pool.trajectories[0][-1][1].t
+        t_end1 = pool.trajectories[1][-1][1].t
+        assert np.any(np.abs(t_end0 - t_end1) > 0), "streams identical"
+        # exactly one batched packed fetch per tick: per-stream frontends
+        # never ran their own device step
+        assert pool.fes[0]._dev_R_cw is None

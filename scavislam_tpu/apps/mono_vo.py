@@ -120,6 +120,18 @@ def main(argv=None):
                     help="joint pose+structure window BA at every new "
                          "keyframe (anchored uv factors through the DWO "
                          "Schur solver)")
+    ap.add_argument("--dwo", action="store_true",
+                    help="with --window-ba: the covisibility DOUBLE window "
+                         "instead of the last-K slice — inner keyframes get "
+                         "full point BA, outer keyframes are held by frozen "
+                         "marginalized relative-pose constraints (the "
+                         "ICCV'11 bound on the mode the reference never "
+                         "shipped); per-keyframe cost stays constant on "
+                         "long runs")
+    ap.add_argument("--dwo-inner", type=int, default=5,
+                    help="inner-window size for --dwo (point-BA keyframes)")
+    ap.add_argument("--dwo-outer", type=int, default=16,
+                    help="outer-window size for --dwo (pose-edge keyframes)")
     ap.add_argument("--pipelined", action="store_true",
                     help="overlapped frame loop (packed fetches resolve in "
                          "helper threads; policy lags pipeline depth)")
@@ -186,7 +198,9 @@ def main(argv=None):
         if args.window_ba:
             # pipelined runs dispatch async (adopted at a later consume);
             # sync runs solve inline
-            fe.window_ba(sync=not args.pipelined)
+            fe.window_ba(window=args.dwo_inner if args.dwo else 5,
+                         sync=not args.pipelined, dwo=args.dwo,
+                         outer=args.dwo_outer)
         if detector is not None:
             index_keyframe(kf_id, img)
 

@@ -125,6 +125,11 @@ class MonoFrontend:
         self._map_gen = 0  # bumped on re-gauge; stale solves discarded
         self.last_ba_chi2 = None
         self._kf_epoch = 0
+        # frozen marginalized relative-pose constraints (mono DWO):
+        # (a, b) a<b -> (R_b_from_a, t_b_from_a, Lambda6x6), created
+        # when a covis edge leaves the inner window, dropped when both
+        # ends re-enter it (un-marginalize) or the map re-gauges
+        self.edge_constraints: dict = {}
         self._fetch_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="mono-packed-fetch")
 
@@ -503,9 +508,12 @@ class MonoFrontend:
     # 128/2048/8192 problem would compile a far larger program for the mono
     # window's ~5 poses)
     BA_CAPS = (8, 1024, 3072)
+    # the mono DOUBLE-window shape: inner (point BA) + outer (pose edges)
+    # poses, plus relative-pose constraint capacity
+    DWO_CAPS = (24, 1024, 3072, 96)
 
     def window_ba(self, window: int = 5, iters: int = 4,
-                  sync: bool = True):
+                  sync: bool = True, dwo: bool = False, outer: int = 16):
         """Joint pose+structure refinement over the last `window` keyframes:
         anchored inverse-depth ternary factors with uv-only observations
         through the SAME Schur solver as the stereo DWO (ba_solver with the
@@ -526,9 +534,19 @@ class MonoFrontend:
         couple of per-frame filter psi updates with the joint solution
         (their Lambda keeps every observation's information).
 
+        With dwo=True the window is the covisibility DOUBLE window instead
+        of the last-K slice: `window` INNER keyframes (selected by
+        strongest-covisibility BFS from the actkey) get full point BA,
+        up to `outer` OUTER keyframes join as pose vertices held by
+        marginalized relative-pose constraints frozen when their edges left
+        the inner window — the ICCV'11 DWO bound (slam_graph.cpp:555-663)
+        applied to the mode the reference never shipped: per-keyframe cost
+        stays constant no matter how long the run grows.
+
         Returns (chi2_initial, chi2_final), "dispatched", or None."""
         self.adopt_pending_ba(force=True)
-        meta = self._assemble_window(window)
+        meta = (self._assemble_window_dwo(window, outer) if dwo
+                else self._assemble_window(window))
         if meta is None:
             return None
         cam0 = self.cams[0]
@@ -582,29 +600,117 @@ class MonoFrontend:
         self._pending_ba = None
 
     def _assemble_window(self, window: int):
-        """Host problem assembly. Returns a meta dict (prob + index maps)
-        or None when the window is degenerate."""
-        from scavislam_tpu.models.ba_solver import BAProblem
-
+        """Host problem assembly over the LAST `window` keyframes (sliding
+        window). Returns a meta dict (prob + index maps) or None when the
+        window is degenerate."""
         kf_ids = sorted(self.pose_np.keys())[-window:]
+        return self._assemble_core(kf_ids, anchor_set=set(kf_ids),
+                                   caps=self.BA_CAPS + (1,), edges=[])
+
+    # -- mono DWO: covisibility double window + marginalized constraints -- #
+    def _compute_double_window(self, root: int, inner_n: int, outer_n: int):
+        """BFS from the root by covisibility, strongest links first; the
+        first `inner_n` reached are INNER, the next `outer_n` OUTER
+        (parity: slam_graph.cpp:555-596 applied to the mono covis graph)."""
+        order, seen = [], set()
+        q = deque([root])
+        while q and len(order) < inner_n + outer_n:
+            v = q.popleft()
+            if v in seen or v not in self.pose_np:
+                continue
+            seen.add(v)
+            order.append(v)
+            for nbr in sorted(self.covis.get(v, {}),
+                              key=lambda k: -self.covis[v][k]):
+                if nbr not in seen:
+                    q.append(nbr)
+        return order[:inner_n], order[inner_n:]
+
+    def _freeze_constraint(self, a: int, b: int):
+        """Marginalized relative-pose constraint T_b_from_a + heuristic
+        information, frozen from the CURRENT estimates the moment the edge
+        leaves the inner window (parity: computeConstraint,
+        slam_graph.cpp:785-846: Lambda = strength * diag((350*|t|/med_depth)^2
+        I3, 100^2 I3)). Deviation, documented: the stereo graph's median
+        covisible-point depth is replaced by the mono PRIOR depth
+        1/prior_idepth — mono scale is gauged by that prior, so it is the
+        natural depth unit, and it avoids fetching the device psi table in
+        the keyframe path (a ~25 ms tunnel round-trip)."""
+        Ra, ta = self.pose_np[a]
+        Rb, tb = self.pose_np[b]
+        R_ba = (Rb @ Ra.T).astype(np.float32)
+        t_ba = (tb - R_ba @ ta).astype(np.float32)
+        strength = max(self.covis.get(a, {}).get(b, 1), 1)
+        med_depth = 1.0 / self.prior_idepth
+        norm_dist = float(np.linalg.norm(t_ba)) / med_depth
+        Lam = np.eye(6, dtype=np.float32) * float(strength)
+        Lam[:3, :3] *= (350.0 * norm_dist) ** 2
+        Lam[3:, 3:] *= 100.0 ** 2
+        return R_ba, t_ba, Lam
+
+    def _assemble_window_dwo(self, inner_n: int, outer_n: int):
+        """Double-window assembly: INNER keyframes own the active points
+        (full BA); OUTER keyframes are pose vertices whose edges carry the
+        frozen marginalized constraints. Edges fully inside the inner window
+        are UN-marginalized (constraint dropped, re-frozen when they leave
+        again — slam_graph.cpp:728-759's bookkeeping on the mono graph)."""
+        if self.actkey_id < 0 or len(self.pose_np) < 2:
+            return None
+        inner, outer_kfs = self._compute_double_window(
+            self.actkey_id, inner_n, outer_n)
+        kf_ids = inner + outer_kfs
         if len(kf_ids) < 2:
             return None
-        P_cap, L_cap, O_cap = self.BA_CAPS
+        inner_set = set(inner)
+        P_cap, L_cap, O_cap, E_cap = self.DWO_CAPS
+        in_window = set(kf_ids)
+        edges = []
+        for a in kf_ids:
+            for b, s in self.covis.get(a, {}).items():
+                if b <= a or b not in in_window:
+                    continue
+                if s < self.cfg.frontend.covis_thr:
+                    continue
+                if a in inner_set and b in inner_set:
+                    # un-marginalize: both ends re-entered the inner window
+                    self.edge_constraints.pop((a, b), None)
+                    continue
+                c = self.edge_constraints.get((a, b))
+                if c is None:
+                    c = self._freeze_constraint(a, b)
+                    self.edge_constraints[(a, b)] = c
+                edges.append((a, b) + c)
+        return self._assemble_core(
+            kf_ids, anchor_set=inner_set,
+            caps=(P_cap, L_cap, O_cap, E_cap), edges=edges[:E_cap])
+
+    def _assemble_core(self, kf_ids, anchor_set, caps, edges):
+        """Shared problem builder: poses + anchored points + uv observations
+        (+ optional relative-pose edges). `anchor_set` gates which keyframes'
+        anchored points become free structure (the inner window in DWO mode;
+        everything in sliding mode)."""
+        from scavislam_tpu.models.ba_solver import BAProblem
+
+        if len(kf_ids) < 2:
+            return None
+        P_cap, L_cap, O_cap, E_cap = caps
+        kf_ids = kf_ids[:P_cap]
         slot = {k: i for i, k in enumerate(kf_ids)}
 
-        # points anchored in the window AND observed by >= 2 window kfs
+        # points anchored in `anchor_set` AND observed by >= 2 window kfs
         counts: dict[int, int] = {}
         for k in kf_ids:
             ids, _uv = self.kf_obs.get(k, (np.zeros(0, np.int64), None))
             for pid in ids:
                 counts[int(pid)] = counts.get(int(pid), 0) + 1
         pts = [p for p, c in sorted(counts.items())
-               if c >= 2 and self._meta_anchor[p] in slot][:L_cap]
+               if c >= 2 and self._meta_anchor[p] in slot
+               and int(self._meta_anchor[p]) in anchor_set][:L_cap]
         if not pts:
             return None
         lidx = {p: i for i, p in enumerate(pts)}
 
-        prob = BAProblem.empty(P_cap, L_cap, O_cap, 1)
+        prob = BAProblem.empty(P_cap, L_cap, O_cap, E_cap)
         Rs = np.zeros((P_cap, 3, 3), np.float32)
         Rs[:] = np.eye(3)
         ts = np.zeros((P_cap, 3), np.float32)
@@ -613,7 +719,7 @@ class MonoFrontend:
         for k, i in slot.items():
             Rs[i], ts[i] = self.pose_np[k]
             pv[i] = True
-        pf[0] = True  # gauge: the oldest window keyframe
+        pf[slot[min(kf_ids)]] = True  # gauge: the oldest window keyframe
 
         # psi gathered ON DEVICE (a host np.asarray of the full point table
         # is a ~25 ms tunnel fetch sitting in the keyframe path — the very
@@ -653,6 +759,20 @@ class MonoFrontend:
         ow[:n_obs] = o_w[:n_obs]
         ov[:n_obs] = True
 
+        # relative-pose edges (frozen marginalized constraints, DWO mode):
+        # constraint convention T_j_from_i per BAProblem.edge_R docs
+        e_i = np.zeros(E_cap, np.int32)
+        e_j = np.zeros(E_cap, np.int32)
+        e_R = np.zeros((E_cap, 3, 3), np.float32)
+        e_R[:] = np.eye(3)
+        e_t = np.zeros((E_cap, 3), np.float32)
+        e_info = np.zeros((E_cap, 6, 6), np.float32)
+        e_val = np.zeros(E_cap, bool)
+        for n, (a, b, R_ba, t_ba, Lam) in enumerate(edges[:E_cap]):
+            e_i[n], e_j[n] = slot[a], slot[b]
+            e_R[n], e_t[n], e_info[n] = R_ba, t_ba, Lam
+            e_val[n] = True
+
         prob = prob._replace(
             R=jnp.asarray(Rs), t=jnp.asarray(ts),
             pose_valid=jnp.asarray(pv), pose_fixed=jnp.asarray(pf),
@@ -661,8 +781,12 @@ class MonoFrontend:
             obs_pose=jnp.asarray(op), obs_point=jnp.asarray(opt),
             obs_uvu=jnp.asarray(ouv), obs_weight=jnp.asarray(ow),
             obs_valid=jnp.asarray(ov),
+            edge_i=jnp.asarray(e_i), edge_j=jnp.asarray(e_j),
+            edge_R=jnp.asarray(e_R), edge_t=jnp.asarray(e_t),
+            edge_info=jnp.asarray(e_info), edge_valid=jnp.asarray(e_val),
         )
-        return {"prob": prob, "kf_ids": kf_ids, "slot": slot, "pts": pts}
+        return {"prob": prob, "kf_ids": kf_ids, "slot": slot, "pts": pts,
+                "P_cap": P_cap, "n_edges": int(e_val.sum())}
 
     def _writeback_window(self, meta, packed):
         """Apply a window solve: poses (numpy mirrors + device table), psi
@@ -671,7 +795,8 @@ class MonoFrontend:
         from scavislam_tpu.models.map_store import scatter_psi
 
         kf_ids, slot, pts = meta["kf_ids"], meta["slot"], meta["pts"]
-        P_cap, L_cap, _ = self.BA_CAPS
+        P_cap = meta["P_cap"]
+        L_cap = meta["psi_out"].shape[0]
         R_np = packed[: P_cap * 9].reshape(P_cap, 3, 3)
         t_np = packed[P_cap * 9: P_cap * 12].reshape(P_cap, 3)
         self.last_ba_chi2 = (float(packed[P_cap * 12]),

@@ -583,3 +583,102 @@ class TestMonoVo:
         for kf, nbrs in fe.covis.items():
             for nbr, s in nbrs.items():
                 assert fe.covis[nbr].get(kf, 0) == s
+
+
+@pytest.mark.slow
+class TestMonoDwo:
+    """Mono DOUBLE-window BA (window_ba(dwo=True)): the ICCV'11 DWO bound
+    (slam_graph.cpp:555-663) applied to the mono graph — inner keyframes get
+    full point BA, outer keyframes are pose vertices held by frozen
+    marginalized relative-pose constraints, so per-keyframe cost stays
+    constant on long runs."""
+
+    def test_double_window_constraints_and_refinement(self):
+        import dataclasses
+
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.12))
+        fe, gt, _ = run_mono(26, cfg=cfg)
+        assert fe.next_kf >= 6, f"need a long keyframe chain, got {fe.next_kf}"
+
+        inner_n = 3
+        meta = fe._assemble_window_dwo(inner_n, 8)
+        assert meta is not None
+        # the double window reaches BEYOND the last-K slice: more poses than
+        # the sliding window, and frozen constraints hold the outer ones
+        assert len(meta["kf_ids"]) > inner_n
+        assert meta["n_edges"] >= 1
+        assert fe.edge_constraints, "no marginalized constraint was frozen"
+        # static caps: the problem never grows past DWO_CAPS no matter the
+        # run length (the constant-time property)
+        P_cap, L_cap, O_cap, E_cap = fe.DWO_CAPS
+        assert meta["prob"].R.shape == (P_cap, 3, 3)
+        assert meta["prob"].edge_R.shape == (E_cap, 3, 3)
+
+        # full solve: chi2 drops, gauge keyframe untouched
+        gauge_kf = min(meta["kf_ids"])
+        gauge_before = tuple(map(np.copy, fe.pose_np[gauge_kf]))
+        out = fe.window_ba(window=inner_n, iters=3, dwo=True, outer=8)
+        assert out is not None
+        chi2_0, chi2_1 = out
+        assert chi2_1 <= chi2_0 * 1.001, (chi2_0, chi2_1)
+        np.testing.assert_array_equal(fe.pose_np[gauge_kf][0],
+                                      gauge_before[0])
+        np.testing.assert_array_equal(fe.pose_np[gauge_kf][1],
+                                      gauge_before[1])
+
+    def test_outer_pose_held_by_frozen_constraint(self):
+        """An OUTER keyframe has no point observations of its own in the
+        problem once its points left the active set — the frozen relative
+        pose edge is what holds it: perturb it and the DWO solve must pull
+        it back toward the frozen constraint."""
+        import dataclasses
+
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.12))
+        fe, gt, _ = run_mono(26, cfg=cfg)
+        inner_n = 3
+        # freeze constraints at the CURRENT (good) estimates
+        meta = fe._assemble_window_dwo(inner_n, 8)
+        assert meta is not None and meta["n_edges"] >= 1
+        inner, outer = fe._compute_double_window(fe.actkey_id, inner_n, 8)
+        held = [b for (a, b) in fe.edge_constraints if b in outer]
+        held += [a for (a, b) in fe.edge_constraints if a in outer]
+        assert held, "no outer keyframe carries a frozen constraint"
+        k_out = held[0]
+
+        R_o, t_o = fe.pose_np[k_out]
+        t_bad = (t_o + np.array([0.05, -0.04, 0.06], np.float32))
+        fe.pose_np[k_out] = (R_o, t_bad)
+        fe.poses = fe.poses.set(k_out, SE3(jnp.asarray(R_o),
+                                           jnp.asarray(t_bad)))
+        out = fe.window_ba(window=inner_n, iters=4, dwo=True, outer=8)
+        assert out is not None
+        t_opt = fe.pose_np[k_out][1]
+        assert (np.linalg.norm(t_opt - t_o)
+                < 0.5 * np.linalg.norm(t_bad - t_o)), (t_o, t_bad, t_opt)
+
+    def test_unmarginalize_on_inner_reentry(self):
+        """Edges whose both ends re-enter the inner window get their frozen
+        constraint DROPPED (unmargPosesEnteringInnerW parity,
+        slam_graph.cpp:728-759)."""
+        import dataclasses
+
+        from scavislam_tpu.utils.config import Config
+
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, ui=dataclasses.replace(cfg.ui, parallax_thr=0.12))
+        fe, gt, _ = run_mono(26, cfg=cfg)
+        meta = fe._assemble_window_dwo(3, 8)
+        assert meta is not None and fe.edge_constraints
+        # widen the inner window to swallow the whole graph: every frozen
+        # edge is now inner-inner and must be un-marginalized
+        fe._assemble_window_dwo(fe.DWO_CAPS[0], 0)
+        assert not fe.edge_constraints, fe.edge_constraints

@@ -31,7 +31,7 @@ from scavislam_tpu.models.map_store import materialize_points
 from scavislam_tpu.models.matcher import _match_level
 from scavislam_tpu.models.pose_optimizer import motion_only_ba_robust
 from scavislam_tpu.models.slam_graph import INNER, OUTER, SlamGraph
-from scavislam_tpu.ops.fast import corner_buckets
+from scavislam_tpu.ops.fast import corner_buckets_prefiltered
 from scavislam_tpu.pipeline.monitors import BackendMonitor, PlaceRecognizerMonitor
 from scavislam_tpu.utils.config import Config
 
@@ -466,11 +466,11 @@ class Backend:
                 # step's prefilter (frontend_step.py) so the re-detected
                 # corners equal the frontend's (deterministic re-detection
                 # replaces the reference's stored per-cell thresholds,
-                # fast_grid.cpp:60-83)
-                from scavislam_tpu.ops.image import binomial3
-
-                buckets = corner_buckets(
-                    binomial3(pyr[lvl]),
+                # fast_grid.cpp:60-83); smoothing is fused INTO the jitted
+                # detection (an eager binomial3 here dispatched ~7 device
+                # ops per level x pass x registration over the tunnel)
+                buckets = corner_buckets_prefiltered(
+                    pyr[lvl],
                     threshold=10.0 / 255.0,
                     cells_y=max(self.cams[lvl].height // 8, 4),
                     cells_x=max(self.cams[lvl].width // 8, 4),

@@ -160,3 +160,26 @@ def corner_buckets(
         "score": score.reshape(cells_y, cells_x, per_cell),
         "valid": valid.reshape(cells_y, cells_x, per_cell),
     }
+
+
+@partial(jax.jit, static_argnames=("cells_y", "cells_x", "per_cell"))
+def corner_buckets_prefiltered(
+    img: jnp.ndarray,
+    threshold: float = 10.0 / 255.0,
+    cells_y: int = 24,
+    cells_x: int = 32,
+    per_cell: int = 8,
+):
+    """:func:`corner_buckets` on the 3x3-binomial-smoothed image, fused into
+    ONE device program. The backend's re-detection must mirror the frame
+    step's sensor-noise prefilter (frontend_step.py) so re-detected corners
+    equal the frontend's — but calling ``binomial3`` EAGERLY before the
+    jitted ``corner_buckets`` dispatched ~7 device ops per call, and the
+    backend runs it per level x per pass x per registration: measured as
+    the 74 -> 6 fps collapse of the loop-closure benchmark over the TPU
+    tunnel (BASELINE config 2)."""
+    from scavislam_tpu.ops.image import binomial3
+
+    return corner_buckets(
+        binomial3(img), threshold, cells_y, cells_x, per_cell
+    )

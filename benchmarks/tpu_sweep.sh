@@ -22,4 +22,6 @@ run 1500 python benchmarks/run_configs.py 5
 run 1500 python benchmarks/run_configs.py 6
 run 900  python benchmarks/profile_stages.py
 run 900  python benchmarks/profile_loop.py 100
+run 1200 python benchmarks/profile_stereo_methods.py
+run 2400 python benchmarks/tpu_cpu_parity.py --frames 80
 tail -50 "$LOG"

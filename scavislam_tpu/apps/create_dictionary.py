@@ -39,32 +39,53 @@ def descriptors_for_image(img_f32, budget=1024):
 
 
 def synthetic_corpus_descriptors(verbose=True, n_scenes=8,
-                                 frames_per_scene=16):
+                                 frames_per_scene=16, recipe="v2"):
     """The canonical training corpus behind the SHIPPED
-    scavislam_tpu/data/vocabulary.npz: ``n_scenes`` varied_box scenes
+    scavislam_tpu/data/vocabulary.npz. Deterministic — rerunning this
+    function with the same arguments reproduces the artifact bit-for-bit.
+
+    recipe="v1" (the round-2 artifact): ``n_scenes`` varied_box scenes
     (seeds 1..n_scenes, texture phases disjoint from the benchmark scenes
     default_room and closed_box) under mixed spin/orbit/forward
-    trajectories, New College geometry (512x384, f=389.96). Deterministic —
-    rerunning this function with the same arguments reproduces the artifact
-    bit-for-bit (the shipped vocabulary used the defaults)."""
+    trajectories, New College geometry (512x384, f=389.96).
+
+    recipe="v2" (the shipped artifact since round 3): v1's scenes PLUS a
+    spin-heavy closed-geometry block — varied_box spins at full 360 degrees
+    (seeds n_scenes+1..n_scenes+4) and cluttered_room scenes with
+    free-standing objects (seeds 101..102) under spin/orbit — because the
+    v1 vocabulary UNDER-covered enclosed-scene spin viewpoints: on the
+    360-spin benchmark its word assignments collapsed revisit scores to
+    R 0.50 where even the random-projection fallback reached 0.67
+    (benchmarks/RESULTS.md); the reference trains on real omnidirectional
+    walking footage (placerecognizer.cpp:87-112) which has no such gap."""
     from scavislam_tpu.core.camera import StereoCamera
-    from scavislam_tpu.io.synthetic import SyntheticSequence, varied_box
+    from scavislam_tpu.io.synthetic import (SyntheticSequence,
+                                            cluttered_room, varied_box)
 
     cam = StereoCamera.create(389.96, (254.9, 201.9), (512, 384), 0.12)
     descs = []
-    kinds = ["spin", "orbit", "forward_arc", "out_and_back"]
-    for seed in range(1, n_scenes + 1):
-        kind = kinds[(seed - 1) % len(kinds)]
-        n = frames_per_scene
+
+    def add_scene(planes, kind, n, tag):
         step = 1.0 / (n - 1) if kind == "spin" else 0.04
         seq = SyntheticSequence(cam, n_frames=n, kind=kind,
-                                planes=varied_box(seed), step=step)
+                                planes=planes, step=step)
         for fr in seq:
-            d = descriptors_for_image(fr["left"])
-            descs.append(d)
+            descs.append(descriptors_for_image(fr["left"]))
         if verbose:
-            print(f"scene seed={seed} kind={kind}: "
+            print(f"scene {tag} kind={kind}: "
                   f"{sum(len(x) for x in descs)} descriptors total")
+
+    kinds = ["spin", "orbit", "forward_arc", "out_and_back"]
+    for seed in range(1, n_scenes + 1):
+        add_scene(varied_box(seed), kinds[(seed - 1) % len(kinds)],
+                  frames_per_scene, f"varied_box({seed})")
+    if recipe == "v2":
+        for seed in range(n_scenes + 1, n_scenes + 5):
+            add_scene(varied_box(seed), "spin", frames_per_scene,
+                      f"varied_box({seed})/spin")
+        for i, seed in enumerate((101, 102)):
+            add_scene(cluttered_room(seed), ["spin", "orbit"][i % 2],
+                      frames_per_scene, f"cluttered_room({seed})")
     return np.concatenate(descs)
 
 

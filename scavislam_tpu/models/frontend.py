@@ -60,6 +60,9 @@ NEW_PER_LEVEL = (320, 96, 32)  # new points per keyframe per level
 # (reference budget: <=300*4^-l at level 0, stereo_frontend.cpp:743)
 TRACKED_CAP = 1024  # padded tracked-obs buffer for clearance tests
 MIN_TRACK_OBS = 20  # tracking failure threshold (stereo_frontend.cpp:1053)
+# minimum match signal for a rescue spawn (below-floor frame that still
+# sees a real fraction of its candidates; a kidnapped frame sees ~0)
+RESCUE_MIN_MATCHES = 10
 
 
 @dataclass
@@ -158,6 +161,10 @@ class StereoFrontend:
         # deferred keyframe spawn: (rec, pkt_args) whose payload fetch is in
         # flight; finalized once the fetch lands (pipelined mode only)
         self._pending_spawn = None
+        # True after a RESCUE spawn (see _consume) until a frame passes the
+        # tracking floor again: a second below-floor frame while a rescue is
+        # unvalidated is a genuine loss, not staleness
+        self._rescue_pending = False
         # finalized AddToOptimizer packets not yet handed to the system
         # (SlamSystem drains this every frame and pushes to the backend)
         self._ready_packets = []
@@ -454,6 +461,45 @@ class StereoFrontend:
             results.append((True, True, None, None, pkt))
         return results
 
+    def _freshest_spawn_source(self):
+        """Spawn-at-pipeline-head: the newest in-flight frame whose packed
+        fetch has LANDED and whose stats pass the tracking floor, as a
+        (out, T_np, tracked) triple for _add_new_keyframe — or None.
+
+        Keyframe decisions lag dispatch by `pipeline_depth` frames, so a
+        spawn from the CONSUMED frame's view is already depth frames stale
+        the moment it exists; under fast rotation (the 360-spin benchmark:
+        4 deg/frame at depth 4) frames then match a (cadence+depth)-frame-
+        old view and decay below the floor before the next decision can
+        fire. Spawning from the newest landed frame cuts the staleness to
+        the link round-trip (~2-3 frames) with zero extra device work or
+        fetches — the packet was already fetched for its own consume, which
+        still happens normally later (stale-epoch, so its own keyframe
+        decision is suppressed; its pose update proceeds)."""
+        C = CAND_CAP
+        for entry in reversed(self._pending):
+            fid, cand_ids, out, fut, corr_R, corr_t, _ep = entry
+            if fut is None or not fut.done():
+                continue
+            pk = fut.result()
+            R_cw = pk[0:9].reshape(3, 3)
+            t_cw = pk[9:12]
+            if corr_R is not None:
+                t_cw = R_cw @ corr_t + t_cw
+                R_cw = R_cw @ corr_R
+            n_matched, n_gated = int(pk[24]), int(pk[25])
+            if (n_matched < MIN_TRACK_OBS or n_gated < MIN_TRACK_OBS
+                    or not np.isfinite(t_cw).all()):
+                continue
+            gate = pk[34:34 + C] > 0.5
+            obs_all = pk[34 + 2 * C: 34 + 5 * C].reshape(C, 3)
+            lv = self._meta_level[np.clip(cand_ids, 0, MAX_POINTS - 1)]
+            T_np = (np.asarray(R_cw, np.float32),
+                    np.asarray(t_cw, np.float32))
+            tracked = (cand_ids[gate], obs_all[gate], lv[gate])
+            return out, T_np, tracked
+        return None
+
     def _consume(self, cand_ids, out: FrontendStepOut, fut=None,
                  corr_R=None, corr_t=None, epoch=None):
         C = CAND_CAP
@@ -500,7 +546,46 @@ class StereoFrontend:
                 # is independent of this consume). A genuine loss also fails
                 # CURRENT-epoch frames within `pipeline_depth` frames.
                 return True, spawn_landed
+            if (not self._rescue_pending
+                    and int(n_matched) >= RESCUE_MIN_MATCHES
+                    and np.isfinite(t_cw).all()
+                    and np.isfinite(R_cw).all()):
+                # RESCUE SPAWN. Under fast rotation the pipelined policy has
+                # a structural blind window: decisions are suppressed for
+                # stale-epoch frames, so after one spawn the next possible
+                # decision comes from a frame whose keyframe view is already
+                # (cadence + depth) frames old — on the 360-spin benchmark
+                # (4 deg/frame, depth 4) the first CURRENT-epoch frame
+                # matched 48 / gated 7, under the floor before the policy
+                # could fire again. The synchronous reference never sees
+                # this (its policy runs on fresh stats every frame,
+                # stereo_frontend.cpp:1019-1081). Partial matching + a
+                # finite chain means the pose is still good (the step keeps
+                # the dense-tracking chain when BA is under-constrained) —
+                # so refresh the candidate set by spawning a keyframe from
+                # THIS frame's own view instead of declaring loss. One
+                # rescue per validation: if the next current-epoch frame is
+                # still under the floor against 1-frame-old candidates, the
+                # loss is real (kidnap/occlusion) and lost-mode takes over.
+                self._R_cw, self._t_cw = R_cw, t_cw
+                self._tracked_ids = cand_ids[gate]
+                self._tracked_obs = obs_all[gate]
+                self._tracked_levels = self._meta_level[
+                    np.clip(cand_ids, 0, MAX_POINTS - 1)][gate]
+                # the rescue spawns from the CONSUMED frame itself, never an
+                # older landed entry: if the chain diverged (e.g. the dense
+                # stage picked the translation branch of the planar
+                # rotation/translation ambiguity), only a keyframe whose
+                # view AND pose both come from the post-divergence frame is
+                # self-consistent — an older good keyframe leaves predicted
+                # projections offset by the divergence and matching never
+                # recovers (measured on the 360-spin). The offset becomes
+                # bounded trajectory drift; loop closure exists to fix it.
+                self._add_new_keyframe(out, defer=True)
+                self._rescue_pending = True
+                return True, spawn_landed
             return False, False
+        self._rescue_pending = False
         self._R_cw, self._t_cw = R_cw, t_cw
         # derive the chain from the WORLD pose + the CURRENT actkey: if a
         # keyframe/switch happened after this frame was dispatched, the
@@ -529,8 +614,15 @@ class StereoFrontend:
             if self.per_mon is not None:
                 self.per_mon.start("drop keyframe")
             # decision + device dispatch now; the packet (and the `dropped`
-            # signal the caller uses to push it) land at the NEXT consume
-            self._add_new_keyframe(out, defer=True)
+            # signal the caller uses to push it) land at the NEXT consume.
+            # The spawn SOURCE is the newest landed in-flight frame when one
+            # qualifies (spawn-at-pipeline-head — see _freshest_spawn_source)
+            src = self._freshest_spawn_source()
+            if src is not None:
+                self._add_new_keyframe(src[0], defer=True,
+                                       T_np=src[1], tracked=src[2])
+            else:
+                self._add_new_keyframe(out, defer=True)
             if self.per_mon is not None:
                 self.per_mon.stop("drop keyframe")
         return True, spawn_landed
@@ -692,7 +784,8 @@ class StereoFrontend:
             self._spawn_dispatch(out, kf_id, tracked_obs)
         )
 
-    def _add_new_keyframe(self, out: FrontendStepOut, defer: bool = False):
+    def _add_new_keyframe(self, out: FrontendStepOut, defer: bool = False,
+                          T_np=None, tracked=None):
         """Parity: addNewKeyframe (stereo_frontend.cpp:309-443).
 
         With defer=True (pipelined mode) the spawn payload fetch — one link
@@ -700,25 +793,35 @@ class StereoFrontend:
         left in flight; the AddToOptimizer packet is finalized at the NEXT
         consume (the backend receives the keyframe one frame later, well
         inside its FIFO-queue semantics). Everything matching needs — device
-        point table, actkey switch, candidate ids — is in place immediately."""
+        point table, actkey switch, candidate ids — is in place immediately.
+
+        T_np/tracked override the keyframe pose + tracked-observation set
+        when the spawn SOURCE is not the consumed frame (the
+        spawn-at-pipeline-head path, _freshest_spawn_source): `out` must be
+        the step output of the SAME frame the pose/observations came from."""
         if self._pending_spawn is not None:
             # consecutive keyframe decisions: force the outstanding one out
             rec, pkt_args = self._pending_spawn
             self._pending_spawn = None
             self._finalize_keyframe(rec, pkt_args)
+        if T_np is None:
+            # packets/snapshots carry the NUMPY pose pair: a device-backed
+            # SE3 in the packet costs the backend a ~25 ms tunnel fetch per
+            # keyframe when it converts with np.asarray (measured — it was
+            # the single largest per-keyframe cost in the loop benchmark)
+            T_np = (self._R_cw.copy(), self._t_cw.copy())
+        if tracked is None:
+            tracked = (self._tracked_ids, self._tracked_obs,
+                       self._tracked_levels)
+        tracked_ids, tracked_obs, tracked_levels = tracked
         self._kf_epoch += 1
         kf_id = self._new_keyframe_id()
-        T_cw = SE3(jnp.asarray(self._R_cw), jnp.asarray(self._t_cw))
-        # packets/snapshots carry the NUMPY pose pair: a device-backed SE3 in
-        # the packet costs the backend a ~25 ms tunnel fetch per keyframe
-        # when it converts with np.asarray (measured — it was the single
-        # largest per-keyframe cost in the loop-closure benchmark)
-        T_np = (self._R_cw.copy(), self._t_cw.copy())
+        T_cw = SE3(jnp.asarray(T_np[0]), jnp.asarray(T_np[1]))
         self.poses = self.poses.set(kf_id, T_cw)
         self.pose_np[kf_id] = T_np
 
         anch = self._meta_anchor[
-            np.clip(self._tracked_ids, 0, MAX_POINTS - 1)
+            np.clip(tracked_ids, 0, MAX_POINTS - 1)
         ]
         strengths = {}
         for a, c in zip(*np.unique(anch, return_counts=True)):
@@ -728,7 +831,7 @@ class StereoFrontend:
         for a, c in strengths.items():
             self.covis.setdefault(a, {})[kf_id] = c
 
-        rec = self._spawn_dispatch(out, kf_id, self._tracked_obs)
+        rec = self._spawn_dispatch(out, kf_id, tracked_obs)
         all_slots = np.concatenate([
             np.arange(s, s + c, dtype=np.int64)
             for s, c in zip(rec["starts"], rec["caps"])
@@ -738,23 +841,27 @@ class StereoFrontend:
         }
         pkt_args = dict(
             kf_id=kf_id, T_cw=T_np,
-            tracked_ids=self._tracked_ids.copy(),
-            tracked_obs=self._tracked_obs.copy(),
-            tracked_levels=self._tracked_levels.copy(),
+            tracked_ids=np.asarray(tracked_ids).copy(),
+            tracked_obs=np.asarray(tracked_obs).copy(),
+            tracked_levels=np.asarray(tracked_levels).copy(),
             strengths=strengths, pyr=out.pyr, disp=out.disp,
         )
         if defer:
             # optimistic candidate set: every allocated slot (device valid
             # flags gate the rejected ones); exact ids land at finalize
             self.kf_point_ids[kf_id] = np.concatenate(
-                [all_slots, self._tracked_ids]
+                [all_slots, np.asarray(tracked_ids)]
             )
             self._pending_spawn = (rec, pkt_args)
         else:
             self._finalize_keyframe(rec, pkt_args)
         self.actkey_id = kf_id
-        self._R_cak = np.eye(3, dtype=np.float32)
-        self._t_cak = np.zeros(3, np.float32)
+        # current-frame-from-actkey: identity when the spawn source IS the
+        # consumed frame; the relative pose when the source is a newer
+        # in-flight frame (spawn-at-pipeline-head)
+        self._R_cak = (self._R_cw @ T_np[0].T).astype(np.float32)
+        self._t_cak = (self._t_cw
+                       - self._R_cak @ T_np[1]).astype(np.float32)
         self._cand_np = None
 
     def _finalize_keyframe(self, rec, pkt_args) -> AddToOptimizer:

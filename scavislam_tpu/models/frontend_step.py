@@ -483,7 +483,6 @@ def frontend_step(
         & (jnp.max(jnp.abs(res.residuals), axis=-1) < max_reproj_err * 2.0)
     )
     res = motion_only_ba(cam0, res.T, xyz_w, obs_all, weights, keep, 1.0)
-    R_cw, t_cw = res.T.R, res.T.t
 
     # -- 8. gating + policy statistics
     lvl_scale = (2.0 ** cand_levels).astype(jnp.float32)
@@ -495,6 +494,22 @@ def frontend_step(
         & (jnp.abs(resid[:, 0] - resid[:, 2]) < 6.0)
     )
     n_gated = jnp.sum(gate.astype(jnp.int32))
+    # A BA below the tracking floor (stereo_frontend.cpp:1053 declares
+    # tracking FAILED under 20 obs) must not move the pose CHAIN: the
+    # chained R_cw/t_cw feeds every later frame's dense tracking, and one
+    # poorly-constrained solve corrupts the chain irreversibly. The floor
+    # is judged on the FINAL per-level reprojection gate, not the BA's own
+    # looser inlier set: measured on the 360-spin, a stale-candidate frame
+    # passed ~40 round-1 inliers into the solve but only 8 survived the
+    # gate — the solve had been pulled 0.14 m sideways by confident
+    # mismatches, and the next frame compounded it to 0.26 m, permanently
+    # (the chain never recovers what one frame loses). Keeping the
+    # dense-tracking pose leaves the frame's stats below the floor (the
+    # host consume still treats it as failed/transient) while the chain
+    # stays recoverable.
+    ba_ok = (n_matched >= 20) & (n_gated >= 20)
+    R_cw = jnp.where(ba_ok, res.T.R, R_cw)
+    t_cw = jnp.where(ba_ok, res.T.t, t_cw)
 
     w0, h0 = cam_statics[0]
     qx = (obs_all[:, 0] > w0 / 2).astype(jnp.int32)

@@ -177,7 +177,6 @@ def mono_step(
         & (jnp.max(jnp.abs(res.residuals), axis=-1) < max_reproj_err * 2.0)
     )
     res = motion_only_ba_uv(cam0, res.T, xyz_w, obs_uv, weights, keep, 1.0)
-    R_cw, t_cw = res.T.R, res.T.t
 
     # -- 5. gating (per-level reprojection bound, uv only)
     lvl_scale = (2.0 ** cand_levels).astype(jnp.float32)
@@ -188,6 +187,18 @@ def mono_step(
         & (jnp.abs(resid[:, 1]) < max_reproj_err * lvl_scale)
     )
     n_gated = jnp.sum(gate.astype(jnp.int32))
+    # Same chain guard as the stereo step (frontend_step.py): a BA below
+    # the mono tracking floor (MIN_TRACK_OBS=15, mono_frontend.py) must not
+    # move the chained pose — judged on the FINAL per-level reprojection
+    # gate, not the BA's own looser inlier set (a stale-candidate frame can
+    # pass dozens of confident mismatches into the solve while only a
+    # handful survive the gate; the solve is then pulled sideways and every
+    # later frame inherits the error). Keeping the previous pose leaves the
+    # frame's stats below the floor (the host consume treats it as failed)
+    # while the chain stays recoverable.
+    ba_ok = (n_matched >= 15) & (n_gated >= 15)
+    R_cw = jnp.where(ba_ok, res.T.R, R_cw_prev)
+    t_cw = jnp.where(ba_ok, res.T.t, t_cw_prev)
     n_conv_gated = jnp.sum((gate & converged).astype(jnp.int32))
 
     # -- 6. information-filter depth update of every gated candidate with

@@ -406,6 +406,22 @@ def make_trajectory(
             t_wc = np.array([0.05 * np.sin(s * 6.28), 0.0,
                              0.05 * (1 - np.cos(s * 6.28))])
             yaw = 2.0 * np.pi * s
+        elif kind == "wander":
+            # long NON-self-revisiting path inside a closed box:
+            # incommensurate Lissajous in x/z plus a slow bounded yaw
+            # sweep. Built for the constant-time (DWO) benchmark — 1000+
+            # frames spawning 100+ keyframes at reference-like cadence
+            # without triggering keyframe switches back to old views
+            # (stereo_frontend.cpp:445-510 switches only when a previous
+            # keyframe is closer than 0.5*parallax_thr). Yaw rate stays
+            # ~0.1 deg/frame at step=0.015 — far inside the pipelined
+            # staleness budget.
+            t_wc = np.array([
+                3.0 * np.sin(0.7 * s),
+                0.3 * np.sin(1.1 * s),
+                3.0 * np.sin(0.41 * s + 1.0),
+            ])
+            yaw = 0.6 * np.sin(0.23 * s)
         elif kind == "still":
             t_wc = np.zeros(3)
             yaw = 0.0

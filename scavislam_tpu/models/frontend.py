@@ -31,6 +31,7 @@ import numpy as np
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.core.lie import SE3
 from scavislam_tpu.models.frontend_step import (
+    MATCH_SEARCH_RADIUS_PX,
     FrontendStepOut,
     frontend_step,
     level_sections,
@@ -115,6 +116,7 @@ class StereoFrontend:
             (c.focal, c.pp[0], c.pp[1], c.baseline) for c in self.cams
         )
         self._cam_statics = tuple(c.size for c in self.cams)
+        self.tables_version = 0
         self.poses = PoseTable.empty()
         self.points = PointTable.empty()
 
@@ -189,6 +191,19 @@ class StereoFrontend:
         # the consume blocks ~16 ms/frame on the fetch (measured). Keyframe
         # policy lags `depth` frames.
         self.pipeline_depth = 2
+        # auto staleness guard: pipeline depth is a STALENESS budget, not
+        # just an RTT-hiding knob — keyframe decisions lag dispatch by
+        # `depth` frames, and depth x per-frame-rotation must stay within
+        # the matcher search radius expressed as rotation or matching
+        # collapses below the tracking floor (measured on the 360-spin
+        # benchmark: 4 deg/frame, depth 4 -> deterministic 0.26 m chain
+        # divergence, ATE 0.1997; depth 2 -> ATE 0.015). _effective_depth
+        # clamps the dispatch-ahead depth from the measured rotation rate
+        # and warns once. Set auto_depth=False to force the raw depth.
+        self.auto_depth = True
+        self._rot_hist = deque(maxlen=8)
+        self._prev_consumed_R = None
+        self._depth_clamp_warned = False
         # 4 workers: each fetch is one link round-trip (~30 ms on a remote
         # chip); with one worker the fetch THROUGHPUT (1/RT) caps the frame
         # rate even though the latency is hidden. Concurrent round-trips
@@ -199,6 +214,30 @@ class StereoFrontend:
         self._fetch_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="packed-fetch"
         )
+
+    # -- device table accessors ------------------------------------------ #
+    # poses/points are properties so EVERY write bumps tables_version:
+    # StreamPool keys its batched-table restack cache on the version (id()
+    # of the table objects is unsound — CPython recycles ids after GC, so
+    # two table swaps between dispatches could alias and the batched step
+    # would silently run against stale tables).
+    @property
+    def poses(self):
+        return self._poses_table
+
+    @poses.setter
+    def poses(self, value):
+        self._poses_table = value
+        self.tables_version += 1
+
+    @property
+    def points(self):
+        return self._points_table
+
+    @points.setter
+    def points(self, value):
+        self._points_table = value
+        self.tables_version += 1
 
     # -- public pose accessors ------------------------------------------- #
     @property
@@ -429,7 +468,7 @@ class StereoFrontend:
             [self.frame_id, cand_ids, out, fut, None, None, self._kf_epoch]
         )
         self._roll(out)
-        if len(self._pending) <= max(1, self.pipeline_depth):
+        if len(self._pending) <= self._effective_depth():
             return None
         entry = self._pending.popleft()
         fid = entry[0]
@@ -460,6 +499,35 @@ class StereoFrontend:
             pkt = self._finalize_keyframe(rec, pkt_args)
             results.append((True, True, None, None, pkt))
         return results
+
+    def _effective_depth(self) -> int:
+        """Dispatch-ahead depth after the staleness guard. The budget is
+        the documented rule (benchmarks/run_configs.py config 2) enforced
+        in code: depth x median per-frame rotation <= FACTOR x
+        (search_radius / focal). FACTOR calibrated by measurement on the
+        360-spin (4 deg/frame, f=195, radius 10 px -> 2.94 deg): depth 2
+        tracks (ATE 0.015), depth 4 diverges deterministically (ATE
+        0.1997); the 10-degree budget admits 2 and clamps 4."""
+        d = max(1, self.pipeline_depth)
+        if not self.auto_depth or len(self._rot_hist) < 4:
+            return d
+        rate = float(np.median(self._rot_hist))  # rad/frame
+        if rate <= 1e-6:
+            return d
+        budget = 3.4 * MATCH_SEARCH_RADIUS_PX / float(self.cam.focal)
+        d_max = max(1, int(budget / rate))
+        if d > d_max and not self._depth_clamp_warned:
+            import warnings
+
+            warnings.warn(
+                f"pipeline_depth={d} exceeds the staleness budget at the "
+                f"measured rotation rate {np.degrees(rate):.1f} deg/frame "
+                f"(matcher search radius {MATCH_SEARCH_RADIUS_PX:.0f} px at "
+                f"f={float(self.cam.focal):.0f}); clamping dispatch-ahead "
+                f"depth to {d_max} to avoid deterministic tracking "
+                f"divergence", stacklevel=3)
+            self._depth_clamp_warned = True
+        return min(d, d_max)
 
     def _freshest_spawn_source(self):
         """Spawn-at-pipeline-head: the newest in-flight frame whose packed
@@ -548,8 +616,13 @@ class StereoFrontend:
                 return True, spawn_landed
             if (not self._rescue_pending
                     and int(n_matched) >= RESCUE_MIN_MATCHES
+                    and int(n_gated) > 0
                     and np.isfinite(t_cw).all()
                     and np.isfinite(R_cw).all()):
+                # n_gated > 0: the rescue keyframe's tracked set (and thus
+                # its covis strengths) comes from `gate`; with zero gated
+                # matches it would spawn DISCONNECTED from the covis graph
+                # (unreachable by double-window/neighborhood/loop anchoring)
                 # RESCUE SPAWN. Under fast rotation the pipelined policy has
                 # a structural blind window: decisions are suppressed for
                 # stale-epoch frames, so after one spawn the next possible
@@ -586,6 +659,11 @@ class StereoFrontend:
                 return True, spawn_landed
             return False, False
         self._rescue_pending = False
+        if self._prev_consumed_R is not None:
+            # rotation-rate sample for the staleness guard (host numpy)
+            c = (np.trace(self._prev_consumed_R.T @ R_cw) - 1.0) * 0.5
+            self._rot_hist.append(float(np.arccos(np.clip(c, -1.0, 1.0))))
+        self._prev_consumed_R = np.asarray(R_cw, np.float64).copy()
         self._R_cw, self._t_cw = R_cw, t_cw
         # derive the chain from the WORLD pose + the CURRENT actkey: if a
         # keyframe/switch happened after this frame was dispatched, the

@@ -105,6 +105,11 @@ _USE_PALLAS_BM = (
     and _os.environ.get("SCAVISLAM_NO_PALLAS", "0") != "1"
 )
 
+# guided-match window radius in level pixels (parity: matcher.cpp:351-357's
+# 4-10 px quadtree query). Exported: the frontend's pipeline-depth staleness
+# guard converts it to a rotation budget (StereoFrontend._effective_depth).
+MATCH_SEARCH_RADIUS_PX = 10.0
+
 
 class FrontendStepOut(NamedTuple):
     # `packed` is THE one host-fetched array per frame: every scalar/mask the
@@ -460,7 +465,7 @@ def frontend_step(
             pyr[l], R_cw, t_cw, xyz_w[sl], R_aw[sl], t_aw[sl], sec_patches,
             lvl_ok,
             buckets_uv, buckets_valid, bucket_patches, bucket_patch_ok,
-            disp, l, zmssd_thr, 10.0,
+            disp, l, zmssd_thr, MATCH_SEARCH_RADIUS_PX,
             source_patches_q=qpack_patches(sec_patches),
         )
         obs_secs.append(obs_l)

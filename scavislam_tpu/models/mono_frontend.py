@@ -595,9 +595,16 @@ class MonoFrontend:
 
     def invalidate_pending_ba(self):
         """The map gauge changed (loop closure re-gauge, relocalization):
-        any in-flight window solve no longer applies."""
+        any in-flight window solve no longer applies. Frozen marginalized
+        constraints are dropped too: they hold SE3 relative poses + Lambdas
+        computed from PRE-gauge estimates, and keeping them would pull outer
+        keyframes back toward pre-loop-closure geometry with
+        100^2/(350*d)^2 information weights (they are re-frozen from the
+        post-gauge estimates the next time an edge leaves the inner
+        window)."""
         self._map_gen += 1
         self._pending_ba = None
+        self.edge_constraints.clear()
 
     def _assemble_window(self, window: int):
         """Host problem assembly over the LAST `window` keyframes (sliding
@@ -658,11 +665,15 @@ class MonoFrontend:
             return None
         inner, outer_kfs = self._compute_double_window(
             self.actkey_id, inner_n, outer_n)
-        kf_ids = inner + outer_kfs
+        P_cap, L_cap, O_cap, E_cap = self.DWO_CAPS
+        # clamp to the pose cap BEFORE building edges: _assemble_core
+        # truncates kf_ids[:P_cap], so an edge touching a truncated keyframe
+        # would KeyError in its slot-fill loop (reachable via
+        # --dwo-inner/--dwo-outer sums above DWO_CAPS[0])
+        kf_ids = (inner + outer_kfs)[:P_cap]
         if len(kf_ids) < 2:
             return None
-        inner_set = set(inner)
-        P_cap, L_cap, O_cap, E_cap = self.DWO_CAPS
+        inner_set = set(inner[:P_cap])
         in_window = set(kf_ids)
         edges = []
         for a in kf_ids:

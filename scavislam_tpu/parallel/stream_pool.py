@@ -127,8 +127,11 @@ class StreamPool:
         """Re-stack the per-stream device tables into the batched tables —
         only when some stream's table object changed (keyframe spawn /
         external write-back); most ticks this is a cache hit."""
-        key = tuple(id(fe.poses) for fe in self.fes) + tuple(
-            id(fe.points) for fe in self.fes)
+        # keyed on each frontend's monotonically-bumped write counter, not
+        # id() of the table objects (ids are recycled after GC: a finalize +
+        # spawn between dispatches could alias and silently serve stale
+        # batched tables)
+        key = tuple(fe.tables_version for fe in self.fes)
         if key != self._tables_key:
             self._poses_b = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[fe.poses for fe in self.fes])

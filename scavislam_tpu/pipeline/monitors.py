@@ -134,21 +134,38 @@ class BackendMonitor:
 class PlaceRecognizerMonitor:
     """Parity: PlaceRecognizerMonitor (placerecognizer.h:50-92,
     placerecognizer.cpp:36-84): input keeps only the NEWEST keyframe, and new
-    work is refused while a detected loop awaits consumption."""
+    work is refused while a detected loop awaits consumption.
 
-    def __init__(self):
+    lossless=True switches the input channel to a FIFO that never drops or
+    refuses keyframes. The reference's drop/refuse semantics shed load in a
+    real-time run where keyframes arrive at ~1/s and PR keeps up; in a
+    benchmark/offline run the whole sequence streams in seconds, so WHICH
+    keyframes get BoW-indexed becomes a property of thread scheduling —
+    measured on the loop-closure benchmark as run-to-run `reconnected`
+    flips on identical code. Lossless mode makes loop detection a property
+    of the code: every keyframe is indexed (during the run when PR keeps
+    up, in SlamSystem.finish()'s drain otherwise)."""
+
+    def __init__(self, lossless: bool = False):
         self._lock = threading.Lock()
+        self.lossless = lossless
         self._newest_kf = None
+        self._fifo = deque()
         self._loops = []
 
     def addKeyframeData(self, data):
         with self._lock:
+            if self.lossless:
+                self._fifo.append(data)
+                return
             if self._loops:
                 return  # refuse work while a loop is pending
             self._newest_kf = data
 
     def getKeyframeDate(self):  # sic — reference method name
         with self._lock:
+            if self.lossless:
+                return self._fifo.popleft() if self._fifo else None
             d = self._newest_kf
             self._newest_kf = None
             return d
@@ -165,4 +182,5 @@ class PlaceRecognizerMonitor:
         """True if unconsumed work sits in either direction (used by
         SlamSystem.finish to drain after the last frame)."""
         with self._lock:
-            return self._newest_kf is not None or bool(self._loops)
+            return (self._newest_kf is not None or bool(self._fifo)
+                    or bool(self._loops))

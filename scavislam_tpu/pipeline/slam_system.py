@@ -52,7 +52,13 @@ class SlamSystem:
     def __init__(self, cam: StereoCamera, cfg: Config = None,
                  threaded: bool = False, enable_loop_closure: bool = True,
                  vocabulary=None, pipelined: bool = False,
-                 pipeline_depth: int = None):
+                 pipeline_depth: int = None, pr_lossless: bool = False):
+        # pr_lossless: feed EVERY keyframe to place recognition through a
+        # FIFO instead of the reference's newest-only/refusing mailbox
+        # (placerecognizer.cpp:36-63). Use for benchmarks/offline runs where
+        # frames stream faster than real time: with the reference semantics,
+        # which keyframes get indexed depends on thread scheduling and loop
+        # detection becomes non-deterministic run-to-run.
         # pipeline_depth: frames in flight before results are consumed.
         # Pick ~ceil(link_RTT / frame_period): depth 2 suits 512x384
         # (~16 ms/frame vs ~28 ms RTT); small frames (256x192, ~10 ms)
@@ -65,7 +71,8 @@ class SlamSystem:
 
         self.backend_monitor = BackendMonitor()
         self.place_monitor = (
-            PlaceRecognizerMonitor() if enable_loop_closure else None
+            PlaceRecognizerMonitor(lossless=pr_lossless)
+            if enable_loop_closure else None
         )
         self.frontend = StereoFrontend(cam, self.cfg)
         self.frontend.per_mon = self.per_mon

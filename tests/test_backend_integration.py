@@ -52,6 +52,20 @@ class TestMonitors:
         m.addKeyframeData("d")
         assert m.getKeyframeDate() == "d"
 
+    def test_place_monitor_lossless_fifo(self):
+        # benchmark mode: every keyframe is kept in order, none refused
+        m = PlaceRecognizerMonitor(lossless=True)
+        m.addKeyframeData("a")
+        m.addKeyframeData("b")
+        m.addLoop("loop1")
+        m.addKeyframeData("c")  # NOT refused despite pending loop
+        assert m.pending()
+        assert m.getKeyframeDate() == "a"
+        assert m.getKeyframeDate() == "b"
+        assert m.getKeyframeDate() == "c"
+        assert m.getLoop() == "loop1"
+        assert not m.pending()
+
 
 def run_system(n_frames=12, step=0.05):
     """Single-threaded frontend+backend stepping (deterministic)."""

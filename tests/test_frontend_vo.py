@@ -103,3 +103,50 @@ class TestPipelinedMode:
         for fid in common:
             d = (results["sync"][fid] @ results["pipe"][fid].inverse()).log()
             assert float(jnp.max(jnp.abs(d))) < 5e-3, (fid, np.asarray(d))
+
+
+class TestAutoPipelineDepth:
+    """The staleness guard (frontend._effective_depth): depth x rotation
+    rate must stay within the matcher-search-radius rotation budget.
+    Pure host policy — no device programs compile here."""
+
+    def _fe(self, depth):
+        fe = StereoFrontend(CAM, Config())
+        fe.pipeline_depth = depth
+        return fe
+
+    def test_no_clamp_before_warmup_or_when_slow(self):
+        fe = self._fe(4)
+        assert fe._effective_depth() == 4  # no rotation history yet
+        for _ in range(8):
+            fe._rot_hist.append(np.radians(0.2))  # slow pan
+        assert fe._effective_depth() == 4
+
+    def test_clamps_fast_rotation(self):
+        # config 2's measured failure point: 4 deg/frame at f=195 radius 10
+        import dataclasses as dc
+
+        cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+        fe = StereoFrontend(cam, Config())
+        fe.pipeline_depth = 4
+        for _ in range(8):
+            fe._rot_hist.append(np.radians(4.0))
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            d = fe._effective_depth()
+            assert d == 2, d  # budget 10 deg / 4 deg-per-frame -> 2
+            assert any("staleness budget" in str(x.message) for x in w)
+        # warns once only
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fe._effective_depth()
+            assert not w
+
+    def test_auto_depth_off_respects_raw_depth(self):
+        fe = self._fe(4)
+        fe.auto_depth = False
+        for _ in range(8):
+            fe._rot_hist.append(np.radians(30.0))
+        assert fe._effective_depth() == 4

@@ -150,8 +150,11 @@ def config2(n=90):
     types = [e.edge_type for e in system.backend.graph.edges.values()]
     n_metric = types.count(METRIC)
     n_app = types.count(APPEARANCE)
+    pr_c = dict(system.place_recognizer.counters)
+    be_c = dict(system.backend.counters)
     return {"config": 2, "metric": "loop_closure_fps", "value": round(fps, 2),
             "unit": "frames/sec", "ate_rmse_m": round(ate, 4),
+            "pr_counters": pr_c, "backend_counters": be_c,
             # the reference has TWO reconnect mechanisms and gates appearance
             # loops on the loop kf being outside the window (backend.cpp:
             # 201-220): when metric local registration reconnects first,

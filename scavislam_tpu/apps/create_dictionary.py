@@ -86,6 +86,23 @@ def synthetic_corpus_descriptors(verbose=True, n_scenes=8,
         for i, seed in enumerate((101, 102)):
             add_scene(cluttered_room(seed), ["spin", "orbit"][i % 2],
                       frames_per_scene, f"cluttered_room({seed})")
+    if recipe == "v3":
+        # reference-scale corpus for a 10k-word vocabulary
+        # (placerecognizer.cpp:87-112 ships surfwords10000): v2's blocks
+        # widened — twice the spin block and twice the cluttered block,
+        # plus wander paths for translating-view coverage. k-means with
+        # k=10000 needs ~10x the descriptor mass of the 4096-word recipe
+        # or most words stay at their init and carry no TF-IDF signal.
+        for seed in range(n_scenes + 1, n_scenes + 9):
+            add_scene(varied_box(seed), "spin", frames_per_scene,
+                      f"varied_box({seed})/spin")
+        for i, seed in enumerate((101, 102, 103, 104)):
+            add_scene(cluttered_room(seed),
+                      ["spin", "orbit", "wander", "out_and_back"][i % 4],
+                      frames_per_scene, f"cluttered_room({seed})")
+        for seed in range(201, 207):
+            add_scene(varied_box(seed), "wander", frames_per_scene,
+                      f"varied_box({seed})/wander")
     return np.concatenate(descs)
 
 
@@ -105,14 +122,19 @@ def main(argv=None):
                          "(default 8 = the shipped-artifact recipe)")
     ap.add_argument("--corpus-frames", type=int, default=16,
                     help="with --synthetic: frames per scene (default 16)")
+    ap.add_argument("--recipe", default="v2", choices=("v1", "v2", "v3"),
+                    help="with --synthetic: corpus recipe (v2 = shipped "
+                         "4096-word artifact; v3 = reference-scale corpus "
+                         "for 10k-word vocabularies)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
         if args.corpus_scenes < 1 or args.corpus_frames < 2:
             raise SystemExit("--corpus-scenes must be >= 1 and "
                              "--corpus-frames >= 2 (spin step = 1/(n-1))")
-        desc = synthetic_corpus_descriptors(n_scenes=args.corpus_scenes,
-                                            frames_per_scene=args.corpus_frames)
+        desc = synthetic_corpus_descriptors(
+            n_scenes=args.corpus_scenes,
+            frames_per_scene=args.corpus_frames, recipe=args.recipe)
         args.num_words = max(args.num_words, 4096)
     else:
         if not args.img_dir:

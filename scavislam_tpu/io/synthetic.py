@@ -416,10 +416,15 @@ def make_trajectory(
             # keyframe is closer than 0.5*parallax_thr). Yaw rate stays
             # ~0.1 deg/frame at step=0.015 — far inside the pipelined
             # staleness budget.
+            # starts at the ORIGIN (s=0 -> t=0): the raw ATE metric assumes
+            # estimate and ground truth share the first-frame gauge
+            # z amplitude 2.0 keeps the camera >= ~2.3 m from the closed
+            # box's back wall over the full phase range (disparity stays
+            # inside the default search range)
             t_wc = np.array([
                 3.0 * np.sin(0.7 * s),
                 0.3 * np.sin(1.1 * s),
-                3.0 * np.sin(0.41 * s + 1.0),
+                2.0 * (np.sin(0.41 * s + 1.0) - np.sin(1.0)),
             ])
             yaw = 0.6 * np.sin(0.23 * s)
         elif kind == "still":

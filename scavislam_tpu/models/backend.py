@@ -117,6 +117,12 @@ class Backend:
         self.keyframe_snapshots: dict[int, dict] = {}
         self._last_tables = None  # (points_snapshot, poses_snapshot)
         self.prev_kf_id = None
+        # observability: why loop-closure/registration attempts succeeded or
+        # died (benchmarks print this — a 0-edge run is not diagnosable from
+        # the edge count alone)
+        from collections import Counter
+
+        self.counters = Counter()
 
     # -- thread body ----------------------------------------------------- #
     def step(self) -> bool:
@@ -320,7 +326,9 @@ class Backend:
             root_id, len(g.double_window) + REG_EXTRA_FRAMES
         )
         cand_frames = [f for f in extended if f not in direct]
+        self.counters["reg_attempts"] += 1
         if not cand_frames:
+            self.counters["reg_no_candidate_frames"] += 1
             return False
 
         # candidate points: anchored at candidate frames, not already seen
@@ -333,6 +341,7 @@ class Backend:
                 if p is not None and p.anchor_id == f and pid not in seen:
                     cand_ids.append(pid)
         if len(cand_ids) < g.covis_thr:
+            self.counters["reg_too_few_candidates"] += 1
             return False
         cand_ids = np.asarray(sorted(set(cand_ids))[:CAND_CAP], np.int64)
 
@@ -341,6 +350,7 @@ class Backend:
             snap, v_root.T, cand_ids, points_tab, poses_tab
         )
         if matched_ids is None or len(matched_ids) < g.covis_thr:
+            self.counters["reg_match_failed"] += 1
             return False
 
         # per-anchor strength + quadrant coverage filter (backend.cpp:614-722)
@@ -356,6 +366,7 @@ class Backend:
             if int(sel.sum()) >= g.covis_thr and len(quads) >= 2:
                 strengths[int(f)] = int(sel.sum())
         if not strengths:
+            self.counters["reg_coverage_failed"] += 1
             return False
 
         tracked = [
@@ -363,6 +374,7 @@ class Backend:
             for i, pid in enumerate(matched_ids)
             if int(anchors[i]) in strengths
         ]
+        self.counters["reg_edges_added"] += len(strengths)
         g.register_keyframes(root_id, T_new, strengths, tracked)
         if g.prepare_for_optimization(root_id):
             g.optimize(num_iters=2, huber=3.0, sync=False)
@@ -376,14 +388,21 @@ class Backend:
         edge and optimize with the loop vertex teleported."""
         g = self.graph
         q, l = loop.query_id, loop.loop_id
+        self.counters["glc_attempts"] += 1
         if q not in g.vertices or l not in g.vertices:
+            self.counters["glc_unknown_vertex"] += 1
             return False
         if g.find_edge(q, l) is not None:
-            return False  # already connected (backend.cpp:201-220)
+            # already connected (backend.cpp:201-220) — usually because
+            # METRIC local registration reconnected first; a correct outcome
+            self.counters["glc_already_connected"] += 1
+            return False
         # skip if the loop kf is INNER (no information gain)
         if g.double_window.get(l) == INNER:
+            self.counters["glc_loop_kf_inner"] += 1
             return False
         if q not in self.keyframe_snapshots or self._last_tables is None:
+            self.counters["glc_no_snapshot"] += 1
             return False
         points_tab, poses_tab = self._last_tables
 
@@ -398,6 +417,7 @@ class Backend:
                     cand_ids.append(pid)
         cand_ids = np.asarray(sorted(set(cand_ids))[:CAND_CAP], np.int64)
         if len(cand_ids) < MIN_LOOP_MATCHES:
+            self.counters["glc_too_few_candidates"] += 1
             return False
 
         # proposed query pose in the LOOP's metric frame:
@@ -408,6 +428,7 @@ class Backend:
             snap, T_q_proposed, cand_ids, points_tab, poses_tab
         )
         if matched_ids is None or len(matched_ids) < MIN_LOOP_MATCHES:
+            self.counters["glc_match_failed"] += 1
             return False
         # quadrant coverage (backend.cpp:959-961)
         w, h = self.cam.size
@@ -416,6 +437,7 @@ class Backend:
             (uv[:, 1] > h / 2).astype(int) * 2 + (uv[:, 0] > w / 2).astype(int)
         )
         if len(quads) < 2:
+            self.counters["glc_coverage_failed"] += 1
             return False
 
         # teleport LOOP vertex into the query's metric frame:
@@ -428,6 +450,7 @@ class Backend:
             for i, pid in enumerate(matched_ids)
         ]
         # observations are added on the LOOP vertex in the reference
+        self.counters["glc_accepted"] += 1
         g.add_loop_closure(q, l, T_loop_new, tracked)
         self.monitor.pushClosedLoop((q, l))
         if g.prepare_for_optimization(q, loop_id=l):

@@ -95,6 +95,72 @@ def default_vocabulary() -> np.ndarray:
     return random_vocabulary()
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cam_params", "mono"))
+def _describe_device(img, disp, vocab, cam_params, mono):
+    """The WHOLE describe pipeline (corners -> disparity gate -> gradients
+    -> descriptors -> BoW quantization) as ONE jitted program returning one
+    packed array. Eagerly dispatched, the same pipeline is ~7 device ops
+    per keyframe indexed — at reference keyframe cadence (~1/5 frames) the
+    PR thread's dispatch traffic contends with the frame loop on the
+    tunnel link and was a measured drag on the loop-closure benchmark."""
+    focal, ppx, ppy, baseline = cam_params
+    uv, score, valid = detect_corners_grid(
+        img, threshold=8.0 / 255.0, cells_y=8, cells_x=8,
+        per_cell=MAX_KEYPOINTS // 64,
+    )
+    if mono:
+        d = jnp.zeros_like(uv[:, 0])
+    else:
+        d, dok = nearest_sample(disp, uv)
+        valid = valid & dok & (d > 0.5)
+    dx, dy = sobel_xy(img)
+    desc, desc_ok = compute_descriptors(dx, dy, uv)
+    valid = valid & desc_ok
+    if mono:
+        xyz = jnp.zeros((uv.shape[0], 3), jnp.float32)
+    else:
+        ds = jnp.maximum(d, 0.5)
+        z = focal * baseline / ds
+        x = (uv[:, 0] - ppx) / focal * z
+        y = (uv[:, 1] - ppy) / focal * z
+        xyz = jnp.stack([x, y, z], axis=-1)
+    words = jnp.argmax(
+        jnp.einsum("nd,kd->nk", desc, vocab,
+                   preferred_element_type=jnp.float32),
+        axis=1,
+    )
+    uvd = jnp.stack([uv[:, 0], uv[:, 1], d], axis=-1)
+    return jnp.concatenate([
+        words.astype(jnp.float32)[:, None], desc, uvd, xyz,
+        valid.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+@_partial(jax.jit, static_argnames=("cam_params", "inlier_thr",
+                                    "num_hypotheses"))
+def _geom_check_device(key, desc_a, xyz_qa, valid_a, desc_b, xyz_cb,
+                       valid_b, cam_params, inlier_thr, num_hypotheses):
+    """BF match + 3-point RANSAC + inlier refit as ONE program, ONE packed
+    fetch [R(9), t(3), n_matched, n_inliers]. The unfused pipeline cost 3
+    dispatches + 3 fetches per geometric check over the tunnel."""
+    idx_b, ok = match_descriptors(desc_a, desc_b,
+                                  valid_a=valid_a, valid_b=valid_b)
+    # correspondences: loop(cand) points -> query points
+    xyz_a = jnp.where(ok[:, None], xyz_cb[idx_b], 0.0)
+    R, t, inliers, n_in = ransac_se3(
+        key, xyz_a, xyz_qa, ok, cam_params,
+        inlier_thr=inlier_thr, num_hypotheses=num_hypotheses)
+    T = refine_se3_from_inliers(xyz_a, xyz_qa, inliers)
+    return jnp.concatenate([
+        T.R.reshape(9), T.t,
+        jnp.sum(ok).astype(jnp.float32)[None],
+        n_in.astype(jnp.float32)[None],
+    ])
+
+
 class PlaceRecognizer:
     def __init__(self, cam: StereoCamera, vocabulary: np.ndarray = None,
                  monitor: PlaceRecognizerMonitor = None,
@@ -111,6 +177,9 @@ class PlaceRecognizer:
         self.inverted_index: dict[int, dict[int, int]] = defaultdict(dict)
         self.word_doc_count: dict[int, int] = defaultdict(int)
         self._key = jax.random.PRNGKey(42)
+        from collections import Counter
+
+        self.counters = Counter()  # indexed / over_thr / geo checks / loops
 
     # ------------------------------------------------------------------ #
     def describe(self, img: jnp.ndarray, disp: jnp.ndarray):
@@ -119,37 +188,18 @@ class PlaceRecognizer:
 
         disp=None selects the MONOCULAR path (trace-time branch): no depth
         gating, zero xyz — retrieval-only places whose geometric check is
-        delegated to the mono Sim3 machinery (models.mono_loop)."""
-        uv, score, valid = detect_corners_grid(
-            img, threshold=8.0 / 255.0, cells_y=8, cells_x=8,
-            per_cell=MAX_KEYPOINTS // 64,
-        )
-        if disp is None:
-            d = jnp.zeros_like(uv[:, 0])
-        else:
-            d, dok = nearest_sample(disp, uv)
-            valid = valid & dok & (d > 0.5)
-        dx, dy = sobel_xy(img)
-        desc, desc_ok = compute_descriptors(dx, dy, uv)
-        valid = valid & desc_ok
-        xyz = (jnp.zeros((uv.shape[0], 3), jnp.float32) if disp is None
-               else self.cam.uv_disp_to_xyz(uv[:, 0], uv[:, 1],
-                                            jnp.maximum(d, 0.5)))
-        words = jnp.argmax(
-            jnp.einsum("nd,kd->nk", desc, self.vocab,
-                       preferred_element_type=jnp.float32),
-            axis=1,
-        )
-        uvd = jnp.stack([uv[:, 0], uv[:, 1], d], axis=-1)
-        # ONE packed fetch: five separate np.asarray calls cost five tunnel
-        # round-trips (~25 ms each) per keyframe indexed / per lost-mode
-        # relocalization attempt
-        n = desc.shape[0]
-        packed = np.asarray(jnp.concatenate([
-            words.astype(jnp.float32)[:, None], desc, uvd, xyz,
-            valid.astype(jnp.float32)[:, None],
-        ], axis=1))
-        dcols = desc.shape[1]
+        delegated to the mono Sim3 machinery (models.mono_loop).
+
+        ONE jitted program + ONE packed fetch per call (_describe_device):
+        both the eager-op dispatch traffic and multi-array fetches are
+        tunnel round-trips that contend with the frame loop."""
+        cam_params = (float(self.cam.focal), float(self.cam.pp[0]),
+                      float(self.cam.pp[1]), float(self.cam.baseline))
+        mono = disp is None
+        packed = np.asarray(_describe_device(
+            img, (jnp.zeros_like(img) if mono else disp), self.vocab,
+            cam_params, mono))
+        dcols = packed.shape[1] - 8
         return (
             packed[:, 0].astype(np.int64),
             packed[:, 1:1 + dcols],
@@ -187,18 +237,19 @@ class PlaceRecognizer:
         img = jnp.zeros((h, w), jnp.float32)
         disp = jnp.ones((h, w), jnp.float32) * 5.0
         words, desc, uvd, xyz, valid = self.describe(img, disp)
-        n = desc.shape[0]
+        # the production geometric check runs on MAX_KEYPOINTS-padded
+        # arrays (Place.padded); warm that exact shape
+        n = MAX_KEYPOINTS
+        desc_p = np.zeros((n, desc.shape[1]), np.float32)
+        xyz_p = np.zeros((n, 3), np.float32)
         va = jnp.ones(n, bool)
-        idx_b, ok = match_descriptors(jnp.asarray(desc), jnp.asarray(desc),
-                                      valid_a=va, valid_b=va)
         self._key, sub = jax.random.split(self._key)
-        cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
-                      self.cam.baseline)
-        R, t, inl, n_in = ransac_se3(
-            sub, jnp.asarray(xyz), jnp.asarray(xyz), va, cam_params,
-            inlier_thr=3.0, num_hypotheses=256)
-        refine_se3_from_inliers(jnp.asarray(xyz), jnp.asarray(xyz), inl)
-        np.asarray(n_in)
+        cam_params = (float(self.cam.focal), float(self.cam.pp[0]),
+                      float(self.cam.pp[1]), float(self.cam.baseline))
+        np.asarray(_geom_check_device(
+            sub, jnp.asarray(desc_p), jnp.asarray(xyz_p), va,
+            jnp.asarray(desc_p), jnp.asarray(xyz_p), va,
+            cam_params, 3.0, 256))
 
     def add_location(self, data: dict):
         """Parity: addLocation (placerecognizer.cpp:206-324)."""
@@ -220,13 +271,18 @@ class PlaceRecognizer:
             self.inverted_index[int(w)][kf_id] = int(c)
             self.word_doc_count[int(w)] += 1
 
+        self.counters["indexed"] += 1
         if not scores:
             return None
         best_id, best_score = max(scores.items(), key=lambda kv: kv[1])
+        self.counters["best_score_max"] = max(
+            self.counters["best_score_max"], int(best_score * 100))
         if best_score <= self.score_thr:
             return None
+        self.counters["over_threshold"] += 1
         loop = self._geometric_check(place, self.location_map[best_id])
         if loop is not None:
+            self.counters["loops_emitted"] += 1
             self.monitor.addLoop(loop)
         return loop
 
@@ -275,36 +331,22 @@ class PlaceRecognizer:
             valid_a = np.ones(len(desc_a), bool)
             desc_b, xyz_cb = cand.desc, cand.xyz
             valid_b = np.ones(len(desc_b), bool)
-        idx_b, ok = match_descriptors(
-            jnp.asarray(desc_a), jnp.asarray(desc_b),
-            valid_a=jnp.asarray(valid_a), valid_b=jnp.asarray(valid_b),
-        )
-        idx_b = np.asarray(idx_b)
-        ok = np.asarray(ok)
-        if ok.sum() < 3:
-            return None
-        # correspondences: loop(cand) points -> query points
-        n = len(desc_a)
-        xyz_a = np.zeros((n, 3), np.float32)  # cand/loop frame
-        xyz_b = np.asarray(xyz_qa, np.float32)  # query frame
-        xyz_a[ok] = np.asarray(xyz_cb, np.float32)[idx_b[ok]]
         self._key, sub = jax.random.split(self._key)
-        cam_params = (self.cam.focal, self.cam.pp[0], self.cam.pp[1],
-                      self.cam.baseline)
-        R, t, inliers, n_in = ransac_se3(
-            sub,
-            jnp.asarray(xyz_a),
-            jnp.asarray(xyz_b),
-            jnp.asarray(ok),
-            cam_params,
-            inlier_thr=3.0,
-            num_hypotheses=256,
-        )
-        if int(n_in) <= self.min_inliers:
+        cam_params = (float(self.cam.focal), float(self.cam.pp[0]),
+                      float(self.cam.pp[1]), float(self.cam.baseline))
+        packed = np.asarray(_geom_check_device(
+            sub, jnp.asarray(desc_a, jnp.float32),
+            jnp.asarray(xyz_qa, jnp.float32), jnp.asarray(valid_a),
+            jnp.asarray(desc_b, jnp.float32),
+            jnp.asarray(xyz_cb, jnp.float32), jnp.asarray(valid_b),
+            cam_params, 3.0, 256))
+        n_matched, n_in = int(packed[12]), int(packed[13])
+        if n_matched < 3 or n_in <= self.min_inliers:
             return None
-        T = refine_se3_from_inliers(
-            jnp.asarray(xyz_a), jnp.asarray(xyz_b), inliers
-        )
+        from scavislam_tpu.core.lie import SE3 as _SE3
+
+        T = _SE3(jnp.asarray(packed[:9].reshape(3, 3)),
+                 jnp.asarray(packed[9:12]))
         return DetectedLoop(query.kf_id, cand.kf_id, T)
 
 
@@ -345,25 +387,46 @@ class PlaceRecognizer:
 # -- vocabulary training (device k-means) ----------------------------------- #
 
 def train_vocabulary(descriptors: np.ndarray, k: int = 1024,
-                     iters: int = 20, seed: int = 0) -> np.ndarray:
-    """Batched Lloyd's k-means on device: assignment is one matmul per
-    iteration (the reference uses FLANN hierarchical k-means offline,
-    create_dictionary.cpp:144-177)."""
-    d = jnp.asarray(descriptors, jnp.float32)
-    n = d.shape[0]
+                     iters: int = 20, seed: int = 0,
+                     chunk: int = 16384) -> np.ndarray:
+    """Batched Lloyd's k-means on device (the reference uses FLANN
+    hierarchical k-means offline, create_dictionary.cpp:144-177).
+
+    The assignment pass runs as a lax.scan over `chunk`-row blocks: the
+    similarity block (chunk, k) is one MXU matmul and the center update is
+    a sorted-free scatter-add — at reference vocabulary scale (10k words,
+    placerecognizer.cpp:87-112) the old one-hot-einsum formulation would
+    materialize an (N, k) one-hot ~4 GB at N=100k descriptors."""
+    d_np = np.asarray(descriptors, np.float32)
+    n, dim = d_np.shape
+    n_pad = -(-n // chunk) * chunk
+    w_np = np.zeros(n_pad, np.float32)
+    w_np[:n] = 1.0
+    pad = np.zeros((n_pad, dim), np.float32)
+    pad[:n] = d_np
+    d = jnp.asarray(pad).reshape(n_pad // chunk, chunk, dim)
+    w = jnp.asarray(w_np).reshape(n_pad // chunk, chunk)
     key = jax.random.PRNGKey(seed)
     init_idx = jax.random.choice(key, n, (k,), replace=n < k)
-    centers = d[init_idx]
+    centers = jnp.asarray(d_np[np.asarray(init_idx)])
 
     @jax.jit
     def step(centers):
-        sim = jnp.einsum("nd,kd->nk", d, centers,
-                         preferred_element_type=jnp.float32)
-        assign = jnp.argmax(sim, axis=1)
-        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
-        sums = jnp.einsum("nk,nd->kd", one_hot, d,
-                          preferred_element_type=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)[:, None]
+        def proc(carry, blk):
+            sums, counts = carry
+            dc, wc = blk
+            sim = jnp.einsum("nd,kd->nk", dc, centers,
+                             preferred_element_type=jnp.float32)
+            assign = jnp.argmax(sim, axis=1)
+            sums = sums.at[assign].add(dc * wc[:, None])
+            counts = counts.at[assign].add(wc)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            proc,
+            (jnp.zeros((k, dim), jnp.float32), jnp.zeros(k, jnp.float32)),
+            (d, w))
+        counts = counts[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
         norm = jnp.linalg.norm(new, axis=1, keepdims=True)
         return new / jnp.maximum(norm, 1e-9)

@@ -14,14 +14,18 @@ for i in $(seq 1 60); do
 done
 run() { echo "--- $* ---" >> "$LOG"; timeout "$1" "${@:2}" >> "$LOG" 2>&1; }
 run 1800 python bench.py 60
-run 1200 python benchmarks/run_configs.py 1
-run 1200 python benchmarks/run_configs.py 2
-run 1200 python benchmarks/run_configs.py 3
-run 1200 python benchmarks/run_configs.py 4
-run 1500 python benchmarks/run_configs.py 5
-run 1500 python benchmarks/run_configs.py 6
+run 1800 python benchmarks/run_configs.py 1
+# config 2 x3: the loop-closure guard must hold on CONSECUTIVE runs
+run 5400 python benchmarks/run_configs.py 2 2 2
+run 1800 python benchmarks/run_configs.py 3
+run 1800 python benchmarks/run_configs.py 4
+run 1800 python benchmarks/run_configs.py 5
+run 1800 python benchmarks/run_configs.py 6
+# config 7: constant-time (DWO) demonstration — 1000 frames, 100+ keyframes
+run 3600 python benchmarks/run_configs.py 7
 run 900  python benchmarks/profile_stages.py
 run 900  python benchmarks/profile_loop.py 100
+run 1500 python benchmarks/profile_multistream.py
 run 1200 python benchmarks/profile_stereo_methods.py
 run 2400 python benchmarks/tpu_cpu_parity.py --frames 80
-tail -50 "$LOG"
+tail -60 "$LOG"

@@ -35,7 +35,7 @@ from scavislam_tpu.models.frontend_step import (
     FrontendStepOut,
     frontend_step,
     level_sections,
-    spawn_points_step,
+    spawn_points_step_packed,
 )
 from scavislam_tpu.models.map_store import (
     MAX_KEYFRAMES,
@@ -806,22 +806,27 @@ class StereoFrontend:
             starts.append(self.next_point)
             self.next_point += cap
 
-        t_uv0 = np.zeros((TRACKED_CAP, 2), np.float32)
-        t_val = np.zeros(TRACKED_CAP, bool)
+        # ONE packed upload: [uv0 | valid | starts | kf_id] (4 separate
+        # uploads cost 4 dispatches over the tunnel per keyframe spawn)
+        packed_in = np.zeros(3 * TRACKED_CAP + self.levels + 1, np.float32)
         if tracked_obs is not None and len(tracked_obs) > 0:
             n = min(len(tracked_obs), TRACKED_CAP)
-            t_uv0[:n] = tracked_obs[:n, :2]
-            t_val[:n] = True
+            # rows 0..n of the (T, 2) uv block, row-major (the unpack
+            # reshape is (T, 2))
+            packed_in[: 2 * n] = np.asarray(
+                tracked_obs[:n, :2], np.float32).ravel()
+            packed_in[2 * TRACKED_CAP: 2 * TRACKED_CAP + n] = 1.0
+        packed_in[3 * TRACKED_CAP: 3 * TRACKED_CAP + self.levels] = starts
+        packed_in[3 * TRACKED_CAP + self.levels] = kf_id
 
-        self.points, payloads = spawn_points_step(
+        self.points, payloads = spawn_points_step_packed(
             out.pyr, out.disp,
-            jnp.asarray(t_uv0), jnp.asarray(t_val),
+            jnp.asarray(packed_in),
             self.points,
-            jnp.asarray(starts, jnp.int32),
-            jnp.int32(kf_id),
             self._cam_params, self._cam_statics,
             self.levels, tuple(caps),
             float(self.cfg.frontend.newpoint_clearance),
+            TRACKED_CAP,
         )
         for l, cap in enumerate(caps):
             ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)

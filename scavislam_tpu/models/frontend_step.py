@@ -719,3 +719,30 @@ def spawn_points_step(
         )
     # ONE packed payload array (per-level fetches each cost a link round-trip)
     return points, jnp.concatenate(payloads)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam_statics", "levels", "caps", "clearance",
+                     "tracked_cap"),
+)
+def spawn_points_step_packed(
+    pyr, disp, packed, points: PointTable, cam_params, cam_statics,
+    levels: int = 3, caps: tuple = (320, 96, 32), clearance: float = 2.0,
+    tracked_cap: int = 1024,
+):
+    """spawn_points_step behind ONE host->device upload: `packed` carries
+    [tracked_uv0.ravel() (2T) | tracked_valid (T) | start_indices (levels) |
+    kf_id] as a single f32 vector. The unpacked form shipped 4 separate
+    arrays per keyframe spawn — 4 upload dispatches over the tunnel, a
+    measured chunk of the 20-60 ms keyframe-drop spikes in the pipelined
+    frame loop."""
+    T = tracked_cap
+    uv0 = packed[: 2 * T].reshape(T, 2)
+    t_val = packed[2 * T: 3 * T] > 0.5
+    starts = packed[3 * T: 3 * T + levels].astype(jnp.int32)
+    kf_id = packed[3 * T + levels].astype(jnp.int32)
+    return spawn_points_step(
+        pyr, disp, uv0, t_val, points, starts, kf_id, cam_params,
+        cam_statics, levels, caps, clearance,
+    )

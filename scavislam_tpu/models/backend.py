@@ -237,7 +237,10 @@ class Backend:
                 pkt.covis_strengths, oldkey,
             )
         self.prev_kf_id = pkt.kf_id
-        # forward to place recognition (backend.cpp:407-430)
+        # forward to place recognition (backend.cpp:407-430). pr_packed —
+        # the BoW block computed inside the spawn program — makes indexing
+        # pure host work; img/disp remain as the fallback describe inputs
+        # for packets without it (no vocabulary wired into the frontend)
         if self.place_monitor is not None and pkt.pyr is not None:
             exclude = set(pkt.covis_strengths) | {pkt.kf_id}
             self.place_monitor.addKeyframeData(
@@ -246,6 +249,7 @@ class Backend:
                     "img": pkt.pyr[0],
                     "disp": pkt.disp,
                     "exclude": exclude,
+                    "pr_packed": getattr(pkt, "pr_packed", None),
                 }
             )
 

@@ -89,6 +89,10 @@ class AddToOptimizer:
     disp: object = None
     points_snapshot: object = None
     poses_snapshot: object = None
+    # BoW describe block computed inside the fused spawn program (numpy
+    # (BOW_KEYPOINTS, BOW_COLS)); when present the place recognizer indexes
+    # this keyframe with ZERO device work (ops.descriptors.bow_describe)
+    pr_packed: np.ndarray = None
 
 
 @dataclass
@@ -134,6 +138,13 @@ class StereoFrontend:
         # host numpy mirrors of point metadata (for policy only)
         self._meta_anchor = np.full(MAX_POINTS, -1, np.int64)
         self._meta_level = np.zeros(MAX_POINTS, np.int64)
+
+        # BoW vocabulary (device (K, 128)): when set (SlamSystem wires it
+        # from the PlaceRecognizer), every keyframe spawn also computes the
+        # place-recognition describe block inside the fused spawn program
+        # and ships it home in the spawn payload — the PR thread then does
+        # zero per-keyframe device work
+        self.pr_vocab = None
 
         # rolling per-frame state (device + small host scalars)
         self._prev_clouds = None
@@ -377,7 +388,8 @@ class StereoFrontend:
         self._R_cw = np.asarray(T_kw.R)
         self._t_cw = np.asarray(T_kw.t)
 
-        new_ids, new_psi, new_lvl, new_uvu = self._spawn(out, kf_id, None)
+        new_ids, new_psi, new_lvl, new_uvu, pr_packed = self._spawn(
+            out, kf_id, None)
         self.kf_point_ids[kf_id] = new_ids
         self.covis[kf_id] = {}
         self.keyframe_map[kf_id] = {
@@ -389,6 +401,7 @@ class StereoFrontend:
             np.zeros(0, np.int64), {},
             pyr=out.pyr, disp=out.disp,
             points_snapshot=self.points, poses_snapshot=self.poses,
+            pr_packed=pr_packed,
         )
         self.to_optimizer_stack.append(pkt)
         return pkt
@@ -826,7 +839,7 @@ class StereoFrontend:
             self._cam_params, self._cam_statics,
             self.levels, tuple(caps),
             float(self.cfg.frontend.newpoint_clearance),
-            TRACKED_CAP,
+            TRACKED_CAP, self.pr_vocab,
         )
         for l, cap in enumerate(caps):
             ids = np.arange(starts[l], starts[l] + cap, dtype=np.int64)
@@ -836,7 +849,9 @@ class StereoFrontend:
         return {"kf_id": kf_id, "caps": caps, "starts": starts, "fut": fut}
 
     def _spawn_finalize(self, rec):
-        """Consume the spawn payload fetch: exact per-slot validity."""
+        """Consume the spawn payload fetch: exact per-slot validity.
+        Returns (ids, psi, levels, uvu0, pr_packed) — pr_packed is the
+        fused BoW describe block, or None when no vocabulary is wired."""
         payloads = rec["fut"].result()
         caps, starts, kf_id = rec["caps"], rec["starts"], rec["kf_id"]
         all_ids, all_psi, all_lvl, all_uvu = [], [], [], []
@@ -854,11 +869,18 @@ class StereoFrontend:
             all_psi.append(psi[ok])
             all_lvl.append(np.full(int(ok.sum()), l, np.int64))
             all_uvu.append(uvu0[ok])
+        pr_packed = None
+        if self.pr_vocab is not None:
+            from scavislam_tpu.ops.descriptors import BOW_COLS, BOW_KEYPOINTS
+
+            pr_packed = payloads[off: off + BOW_KEYPOINTS * BOW_COLS].reshape(
+                BOW_KEYPOINTS, BOW_COLS)
         return (
             np.concatenate(all_ids),
             np.concatenate(all_psi),
             np.concatenate(all_lvl),
             np.concatenate(all_uvu),
+            pr_packed,
         )
 
     def _spawn(self, out: FrontendStepOut, kf_id: int, tracked_obs):
@@ -949,7 +971,8 @@ class StereoFrontend:
 
     def _finalize_keyframe(self, rec, pkt_args) -> AddToOptimizer:
         """Consume the spawn payloads, build + push the backend packet."""
-        new_ids, new_psi, new_lvl, new_uvu = self._spawn_finalize(rec)
+        new_ids, new_psi, new_lvl, new_uvu, pr_packed = \
+            self._spawn_finalize(rec)
         kf_id = pkt_args["kf_id"]
         self.kf_point_ids[kf_id] = np.concatenate(
             [new_ids, pkt_args["tracked_ids"]]
@@ -961,6 +984,7 @@ class StereoFrontend:
             pkt_args["tracked_levels"], pkt_args["strengths"],
             pyr=pkt_args["pyr"], disp=pkt_args["disp"],
             points_snapshot=self.points, poses_snapshot=self.poses,
+            pr_packed=pr_packed,
         )
         self.to_optimizer_stack.append(pkt)
         self._ready_packets.append(pkt)

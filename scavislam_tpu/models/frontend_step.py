@@ -652,13 +652,19 @@ def spawn_points_step(
     levels: int = 3,
     caps: tuple = (320, 96, 32),
     clearance: float = 2.0,
+    pr_vocab=None,  # (K, 128) BoW vocabulary: fuse place-recognition
+    # description into this program (the PR block rides home in the same
+    # payload fetch — a separate per-keyframe describe dispatch+fetch was
+    # ~25-30 ms of tunnel contention each at reference keyframe cadence)
 ):
     """Detect corners per level, gate by disparity + clearance from tracked
     observations, back-project to anchored psi, capture 16x16 source patches,
     and write all blocks into the point table — ONE device program per new
-    keyframe (parity: addMorePoints, stereo_frontend.cpp:706-823).
+    keyframe (parity: addMorePoints, stereo_frontend.cpp:706-823; with
+    pr_vocab it also subsumes the describe half of
+    placerecognizer.cpp:222-246).
 
-    Returns (new_points_table, per-level dict of host-fetchable payloads).
+    Returns (new_points_table, one packed host-fetchable payload vector).
     """
     payloads = []
     offs = jnp.asarray(_patch_offsets_int(SOURCE_PATCH))
@@ -717,6 +723,11 @@ def spawn_points_step(
                 [psi.reshape(-1), uvu0.reshape(-1), ok_k.astype(jnp.float32)]
             )
         )
+    if pr_vocab is not None:
+        from scavislam_tpu.ops.descriptors import bow_describe
+
+        payloads.append(bow_describe(
+            pyr[0], disp, pr_vocab, cam_params[0], mono=False).reshape(-1))
     # ONE packed payload array (per-level fetches each cost a link round-trip)
     return points, jnp.concatenate(payloads)
 
@@ -729,7 +740,7 @@ def spawn_points_step(
 def spawn_points_step_packed(
     pyr, disp, packed, points: PointTable, cam_params, cam_statics,
     levels: int = 3, caps: tuple = (320, 96, 32), clearance: float = 2.0,
-    tracked_cap: int = 1024,
+    tracked_cap: int = 1024, pr_vocab=None,
 ):
     """spawn_points_step behind ONE host->device upload: `packed` carries
     [tracked_uv0.ravel() (2T) | tracked_valid (T) | start_indices (levels) |
@@ -744,5 +755,5 @@ def spawn_points_step_packed(
     kf_id = packed[3 * T + levels].astype(jnp.int32)
     return spawn_points_step(
         pyr, disp, uv0, t_val, points, starts, kf_id, cam_params,
-        cam_statics, levels, caps, clearance,
+        cam_statics, levels, caps, clearance, pr_vocab,
     )

@@ -33,15 +33,14 @@ import numpy as np
 
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.models.backend import DetectedLoop
-from scavislam_tpu.ops.descriptors import compute_descriptors, match_descriptors
-from scavislam_tpu.ops.fast import detect_corners_grid
-from scavislam_tpu.ops.image import nearest_sample, sobel_xy
+from scavislam_tpu.ops.descriptors import (BOW_KEYPOINTS, bow_describe,
+                                           match_descriptors)
 from scavislam_tpu.ops.ransac import ransac_se3, refine_se3_from_inliers
 from scavislam_tpu.pipeline.monitors import PlaceRecognizerMonitor
 
 SCORE_THR = 2.0  # placerecognizer.cpp best-score acceptance
 MIN_INLIERS = 30  # placerecognizer.cpp:197 (>30 inliers)
-MAX_KEYPOINTS = 256
+MAX_KEYPOINTS = BOW_KEYPOINTS
 
 
 class Place:
@@ -98,45 +97,31 @@ def default_vocabulary() -> np.ndarray:
 from functools import partial as _partial
 
 
+def unpack_bow(packed: np.ndarray):
+    """Split one bow_describe block [word | desc | u v d | x y z | valid]
+    into (words int64, desc, uvd, xyz, valid bool) numpy views."""
+    dcols = packed.shape[1] - 8
+    return (
+        packed[:, 0].astype(np.int64),
+        packed[:, 1:1 + dcols],
+        packed[:, 1 + dcols:4 + dcols],
+        packed[:, 4 + dcols:7 + dcols],
+        packed[:, 7 + dcols] > 0.5,
+    )
+
+
 @_partial(jax.jit, static_argnames=("cam_params", "mono"))
 def _describe_device(img, disp, vocab, cam_params, mono):
     """The WHOLE describe pipeline (corners -> disparity gate -> gradients
     -> descriptors -> BoW quantization) as ONE jitted program returning one
-    packed array. Eagerly dispatched, the same pipeline is ~7 device ops
-    per keyframe indexed — at reference keyframe cadence (~1/5 frames) the
-    PR thread's dispatch traffic contends with the frame loop on the
-    tunnel link and was a measured drag on the loop-closure benchmark."""
-    focal, ppx, ppy, baseline = cam_params
-    uv, score, valid = detect_corners_grid(
-        img, threshold=8.0 / 255.0, cells_y=8, cells_x=8,
-        per_cell=MAX_KEYPOINTS // 64,
-    )
-    if mono:
-        d = jnp.zeros_like(uv[:, 0])
-    else:
-        d, dok = nearest_sample(disp, uv)
-        valid = valid & dok & (d > 0.5)
-    dx, dy = sobel_xy(img)
-    desc, desc_ok = compute_descriptors(dx, dy, uv)
-    valid = valid & desc_ok
-    if mono:
-        xyz = jnp.zeros((uv.shape[0], 3), jnp.float32)
-    else:
-        ds = jnp.maximum(d, 0.5)
-        z = focal * baseline / ds
-        x = (uv[:, 0] - ppx) / focal * z
-        y = (uv[:, 1] - ppy) / focal * z
-        xyz = jnp.stack([x, y, z], axis=-1)
-    words = jnp.argmax(
-        jnp.einsum("nd,kd->nk", desc, vocab,
-                   preferred_element_type=jnp.float32),
-        axis=1,
-    )
-    uvd = jnp.stack([uv[:, 0], uv[:, 1], d], axis=-1)
-    return jnp.concatenate([
-        words.astype(jnp.float32)[:, None], desc, uvd, xyz,
-        valid.astype(jnp.float32)[:, None],
-    ], axis=1)
+    packed array (ops.descriptors.bow_describe). Eagerly dispatched, the
+    same pipeline is ~7 device ops per keyframe indexed — at reference
+    keyframe cadence (~1/5 frames) the PR thread's dispatch traffic contends
+    with the frame loop on the tunnel link and was a measured drag on the
+    loop-closure benchmark. Keyframe packets that carry a `pr_packed` block
+    (the spawn-fused path, models.frontend_step) skip this program
+    entirely."""
+    return bow_describe(img, disp, vocab, cam_params, mono)
 
 
 @_partial(jax.jit, static_argnames=("cam_params", "inlier_thr",
@@ -199,14 +184,7 @@ class PlaceRecognizer:
         packed = np.asarray(_describe_device(
             img, (jnp.zeros_like(img) if mono else disp), self.vocab,
             cam_params, mono))
-        dcols = packed.shape[1] - 8
-        return (
-            packed[:, 0].astype(np.int64),
-            packed[:, 1:1 + dcols],
-            packed[:, 1 + dcols:4 + dcols],
-            packed[:, 4 + dcols:7 + dcols],
-            packed[:, 7 + dcols] > 0.5,
-        )
+        return unpack_bow(packed)
 
     # ------------------------------------------------------------------ #
     def step(self) -> bool:
@@ -252,9 +230,20 @@ class PlaceRecognizer:
             cam_params, 3.0, 256))
 
     def add_location(self, data: dict):
-        """Parity: addLocation (placerecognizer.cpp:206-324)."""
+        """Parity: addLocation (placerecognizer.cpp:206-324).
+
+        When the packet carries `pr_packed` — the BoW block computed INSIDE
+        the fused keyframe-spawn program and fetched with the spawn payload
+        (models.frontend_step) — no device work happens here at all: the PR
+        thread becomes pure host bookkeeping except for the rare geometric
+        check."""
         kf_id = data["kf_id"]
-        words, desc, uvd, xyz, valid = self.describe(data["img"], data["disp"])
+        if data.get("pr_packed") is not None:
+            words, desc, uvd, xyz, valid = unpack_bow(
+                np.asarray(data["pr_packed"]))
+        else:
+            words, desc, uvd, xyz, valid = self.describe(
+                data["img"], data["disp"])
         padded = (np.asarray(desc, np.float32), np.asarray(xyz, np.float32),
                   np.asarray(valid, bool))
         words = words[valid]

@@ -28,6 +28,12 @@ GRID = 4  # 4x4 spatial cells
 BINS = 8  # orientation bins
 SUPPORT = 16  # 16x16 sample grid
 
+# the place-recognition keypoint budget (models.placerec.MAX_KEYPOINTS
+# aliases this) and the column layout of one bow_describe row:
+# [word | desc(128) | u v d | x y z | valid]
+BOW_KEYPOINTS = 256
+BOW_COLS = DESC_DIM + 8
+
 
 def _sample_offsets(scale: float = 1.0):
     r = (np.arange(SUPPORT, dtype=np.float32) - (SUPPORT - 1) / 2.0) * scale
@@ -93,6 +99,59 @@ def compute_descriptors(
     norm = jnp.linalg.norm(hist, axis=-1, keepdims=True)
     hist = hist / jnp.maximum(norm, 1e-8)
     return hist, valid
+
+
+def bow_describe(img, disp, vocab, cam_params, mono: bool = False):
+    """The whole place-recognition describe pipeline (FAST corners ->
+    disparity gate -> gradient descriptors -> back-projection -> BoW
+    quantization) as pure traced ops, returning ONE packed (BOW_KEYPOINTS,
+    BOW_COLS) array: [word | desc | u v d | x y z | valid] per row.
+
+    Parity: PlaceRecognizer describe + quantize (/root/reference/scavislam/
+    placerecognizer.cpp:130-152, 222-246). Called two ways: jitted standalone
+    by models.placerec (the PR-thread path, relocalization) and INLINE from
+    the fused keyframe-spawn program (models.frontend_step) so a keyframe's
+    BoW data rides back in the spawn payload the frontend already fetches —
+    a separate per-keyframe describe dispatch+fetch measured ~25-30 ms of
+    tunnel time each at reference keyframe cadence.
+
+    `mono=True` (trace-time branch) skips depth gating and back-projection
+    (no right image): retrieval-only places whose geometric verification is
+    delegated to the mono Sim3 machinery."""
+    from scavislam_tpu.ops.fast import detect_corners_grid
+    from scavislam_tpu.ops.image import nearest_sample, sobel_xy
+
+    focal, ppx, ppy, baseline = cam_params
+    uv, score, valid = detect_corners_grid(
+        img, threshold=8.0 / 255.0, cells_y=8, cells_x=8,
+        per_cell=BOW_KEYPOINTS // 64,
+    )
+    if mono:
+        d = jnp.zeros_like(uv[:, 0])
+    else:
+        d, dok = nearest_sample(disp, uv)
+        valid = valid & dok & (d > 0.5)
+    dx, dy = sobel_xy(img)
+    desc, desc_ok = compute_descriptors(dx, dy, uv)
+    valid = valid & desc_ok
+    if mono:
+        xyz = jnp.zeros((uv.shape[0], 3), jnp.float32)
+    else:
+        ds = jnp.maximum(d, 0.5)
+        z = focal * baseline / ds
+        x = (uv[:, 0] - ppx) / focal * z
+        y = (uv[:, 1] - ppy) / focal * z
+        xyz = jnp.stack([x, y, z], axis=-1)
+    words = jnp.argmax(
+        jnp.einsum("nd,kd->nk", desc, vocab,
+                   preferred_element_type=jnp.float32),
+        axis=1,
+    )
+    uvd = jnp.stack([uv[:, 0], uv[:, 1], d], axis=-1)
+    return jnp.concatenate([
+        words.astype(jnp.float32)[:, None], desc, uvd, xyz,
+        valid.astype(jnp.float32)[:, None],
+    ], axis=1)
 
 
 def match_descriptors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,

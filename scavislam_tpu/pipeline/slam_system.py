@@ -85,6 +85,13 @@ class SlamSystem:
             PlaceRecognizer(cam, vocabulary, self.place_monitor)
             if enable_loop_closure else None
         )
+        if self.place_recognizer is not None:
+            # fuse PR description into the keyframe-spawn device program:
+            # the BoW block rides home in the spawn payload and the PR
+            # thread does zero per-keyframe device work (it contended with
+            # the frame loop for the host<->device link — measured ~25-30 ms
+            # of tunnel time per keyframe indexed)
+            self.frontend.pr_vocab = self.place_recognizer.vocab
         self.threaded = threaded
         self._stop = threading.Event()
         self._threads = []

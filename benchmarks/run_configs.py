@@ -124,23 +124,25 @@ def config2(n=90):
                             planes=closed_box(), step=1.0 / (n - 1))
     frames = _prep_frames(seq, n)
     _warm(cam, cfg, frames, loop_closure=True)
-    # depth 2, not 4: pipeline depth is a STALENESS budget, not just an
-    # RTT-hiding knob — keyframe decisions lag dispatch by `depth` frames,
-    # and at this config's 4 deg/frame spin a depth-4 lag left frames
-    # matching a (cadence+depth)-frame-old keyframe view, collapsing
-    # matches below the tracking floor right when the scene's flat walls
-    # make the dense stage's rotation/translation ambiguity sharpest
-    # (measured: deterministic 0.26 m chain divergence at frame ~10, ATE
-    # 0.1997; depth 2 -> ATE 0.015 with the appearance loop firing). Rule:
-    # depth * deg_per_frame should stay well under the matcher's search
-    # radius expressed in rotation (~10 px ~ 3 deg at f=195).
+    # depth 3: pipeline depth is a STALENESS budget, not just an RTT-hiding
+    # knob — keyframe decisions lag dispatch by `depth` frames, and at this
+    # config's 4 deg/frame spin a depth-4 lag at the old 10 px match radius
+    # left frames matching a (cadence+depth)-frame-old keyframe view,
+    # collapsing matches below the tracking floor right when the scene's
+    # flat walls make the dense stage's rotation/translation ambiguity
+    # sharpest (measured: deterministic 0.26 m chain divergence at frame
+    # ~10, ATE 0.1997; depth 2 -> ATE 0.015). The 16 px radius raises the
+    # budget to ~16 deg (StereoFrontend._effective_depth admits 3, clamps
+    # 4): depth 3 hides the full ~30 ms link RTT at this config's ~11 ms
+    # frame period, and the wider gate alone improved ATE 0.015 -> 0.009
+    # at depth 2 (more candidates survive the keyframe-cadence staleness).
     # pr_lossless: benchmark frames stream in ~2-3 s (not real time), so
     # the reference's newest-only PR mailbox makes WHICH keyframes get
     # indexed a thread-scheduling lottery — judge-measured `reconnected`
     # flipped false/true on identical code. The FIFO + finish() drain makes
     # loop detection deterministic; the drain runs AFTER timing stops.
     system = _system(cam, cfg, threaded=True, enable_loop_closure=True,
-                     pipelined=True, pipeline_depth=2, pr_lossless=True)
+                     pipelined=True, pipeline_depth=3, pr_lossless=True)
     # reference operating point (2.0 / 30) — attainable with the shipped
     # trained vocabulary; see benchmarks/loop_recall.py for the PR curve
     system.place_recognizer.warmup()

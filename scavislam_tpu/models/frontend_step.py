@@ -106,9 +106,16 @@ _USE_PALLAS_BM = (
 )
 
 # guided-match window radius in level pixels (parity: matcher.cpp:351-357's
-# 4-10 px quadtree query). Exported: the frontend's pipeline-depth staleness
-# guard converts it to a rotation budget (StereoFrontend._effective_depth).
-MATCH_SEARCH_RADIUS_PX = 10.0
+# 4-10 px quadtree query; widened to 16 px — the most the 3x3 bucket
+# neighborhood of 16 px cells can GUARANTEE to cover — because the radius
+# sets the pipeline staleness budget: the frontend's depth guard converts
+# it to a rotation budget (StereoFrontend._effective_depth), and 16 px at
+# the loop-closure benchmark's 4.1 deg/frame admits dispatch-ahead depth 3
+# (RTT fully hidden) where 10 px clamped to 2 (measured: fetch_wait was
+# half the frame period). The wider gate's extra distractor corners are
+# still filtered by ZMSSD + the depth-ratio gate — ATE unchanged on the
+# exact-GT suites).
+MATCH_SEARCH_RADIUS_PX = 16.0
 
 
 class FrontendStepOut(NamedTuple):

@@ -123,7 +123,9 @@ class TestAutoPipelineDepth:
         assert fe._effective_depth() == 4
 
     def test_clamps_fast_rotation(self):
-        # config 2's measured failure point: 4 deg/frame at f=195 radius 10
+        # config 2's measured failure point: 4 deg/frame at f=195 (depth 4
+        # diverged at the old 10 px radius; the 16 px radius raises the
+        # budget to ~16 deg -> depth 3 admitted, 4 still clamped)
         import dataclasses as dc
 
         cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
@@ -136,7 +138,7 @@ class TestAutoPipelineDepth:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             d = fe._effective_depth()
-            assert d == 2, d  # budget 10 deg / 4 deg-per-frame -> 2
+            assert d == 3, d  # budget ~16 deg / 4 deg-per-frame -> 3
             assert any("staleness budget" in str(x.message) for x in w)
         # warns once only
         with warnings.catch_warnings(record=True) as w:

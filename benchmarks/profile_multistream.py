@@ -163,27 +163,47 @@ def main():
                     jnp.sum(j) for j in J)
             return jnp.sum(jax.vmap(one)(pyrs, disps))
 
-        # FULL batched step (the production program)
+        # FULL batched step (the production program), at both the legacy
+        # density and the pool's DENSE_SUBS_BATCHED (what StreamPool ships)
         poses_b = jax.tree.map(batch, PoseTable.empty())
         points_b = jax.tree.map(batch, PointTable.empty())
         cand = jnp.full((B, C), -1, jnp.int32)
         ak = jnp.zeros((B,), jnp.int32)
-        fstep = build_multistream_frontend(
-            None, cam_params, cam_statics, levels=levels, num_disp=64)
 
-        def p_full(k):
-            acc = jnp.float32(0.0)
-            cl, va, it, J = clouds_b, valids_b, intens_b, cloud_J_b
-            R, t = Rb, tb
-            for _ in range(k):
-                out = fstep(
-                    (stacked_b + acc * 1e-12).astype(jnp.float32),
-                    cl, it, va, J, R, t, ak, poses_b, points_b, cand)
-                cl, va, it, J = (out.clouds, out.cloud_valids, out.intens,
-                                 out.cloud_J)
-                R, t = out.R_cw, out.t_cw
-                acc = out.packed[0, 0]
-            return np.asarray(acc)
+        def make_full(subs):
+            fstep = build_multistream_frontend(
+                None, cam_params, cam_statics, levels=levels, num_disp=64,
+                dense_subs=subs)
+            if subs is None:
+                cl0, va0, it0, J0 = (clouds_b, valids_b, intens_b,
+                                     cloud_J_b)
+            else:
+                cl1, va1, it1, J1 = FS._cloud_state(
+                    pyr, disp, jnp.eye(3, dtype=jnp.float32),
+                    jnp.zeros(3, jnp.float32), cam_params, levels, dxs,
+                    dys, dense_subs=subs)
+                cl0 = [batch(c) for c in cl1]
+                va0 = [batch(v) for v in va1]
+                it0 = [batch(i) for i in it1]
+                J0 = [batch(j) for j in J1]
+
+            def p_full(k):
+                acc = jnp.float32(0.0)
+                cl, va, it, J = cl0, va0, it0, J0
+                R, t = Rb, tb
+                for _ in range(k):
+                    out = fstep(
+                        (stacked_b + acc * 1e-12).astype(jnp.float32),
+                        cl, it, va, J, R, t, ak, poses_b, points_b, cand)
+                    cl, va, it, J = (out.clouds, out.cloud_valids,
+                                     out.intens, out.cloud_J)
+                    R, t = out.R_cw, out.t_cw
+                    acc = out.packed[0, 0]
+                return np.asarray(acc)
+            return p_full
+
+        p_full = make_full(None)
+        p_full_pool = make_full(FS.DENSE_SUBS_BATCHED)
 
         def chained(prog, *args):
             def run(k):
@@ -195,6 +215,7 @@ def main():
 
         rows = [
             ("FULL batched step", p_full),
+            ("FULL (pool density)", p_full_pool),
             ("preprocess", chained(p_preprocess, stacked_b)),
             ("stereo lax.map", chained(p_stereo_map, stacked_b)),
             ("dense tracking", chained(
@@ -217,8 +238,9 @@ def main():
         print(f"{n:>20} " + " ".join(f"{v:8.2f}" for v in vals)
               + f"   {scale:5.2f}x")
     # residual = full - sum(stages): the match stage + epilogue
+    stage_names = [n for n in names if not n.startswith("FULL")]
     print(f"{'match+epilogue (resid)':>20} " + " ".join(
-        f"{results[b]['FULL batched step'] - sum(results[b][n] for n in names if n != 'FULL batched step'):8.2f}"
+        f"{results[b]['FULL batched step'] - sum(results[b][n] for n in stage_names):8.2f}"
         for b in BATCHES))
 
 

@@ -384,45 +384,67 @@ def config5(streams=8, n_obs=512, iters=50, full_steps=30):
         for i in range(full_steps + 1)
     ]
 
+    # pool density (DENSE_SUBS_BATCHED): what StreamPool actually ships —
+    # the dense LM's gathers were the dominant, B-linear cost of the
+    # batched step (benchmarks/profile_multistream.py)
     def one_state(img, right):
         pyr = build_pyramid(img, levels)
         dxs, dys = zip(*[sobel_xy(p) for p in pyr])
         disp = block_matching_disparity(img, right, num_disp=64, radius=5)
         return FS._cloud_state(pyr, disp, jnp.eye(3, dtype=jnp.float32),
                                jnp.zeros(3, jnp.float32), f_params, levels,
-                               dxs, dys)
+                               dxs, dys, dense_subs=FS.DENSE_SUBS_BATCHED)
 
-    clouds, valids, intens, Js = jax.jit(jax.vmap(one_state))(
+    clouds0, valids0, intens0, Js0 = jax.jit(jax.vmap(one_state))(
         frames_dev[0][:, 0], frames_dev[0][:, 1])
-    batchB = lambda x: jnp.broadcast_to(x, (streams,) + x.shape)
-    poses_b = jax.tree.map(batchB, PoseTable.empty())
-    points_b = jax.tree.map(batchB, PointTable.empty())
-    cand = jnp.full((streams, 768), -1, jnp.int32)
-    Rb = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (streams, 3, 3))
-    tb = jnp.zeros((streams, 3), jnp.float32)
-    ak = jnp.zeros((streams,), jnp.int32)
-    fstep = build_multistream_frontend(None, f_params, f_statics,
-                                       levels=levels, num_disp=64)
 
-    def run_chain():
-        nonlocal clouds, valids, intens, Js, Rb, tb
-        for i in range(1, full_steps + 1):
-            out = fstep(frames_dev[i], clouds, intens, valids, Js,
-                        Rb, tb, ak, poses_b, points_b, cand)
-            clouds, valids, intens, Js = (out.clouds, out.cloud_valids,
-                                          out.intens, out.cloud_J)
-            Rb, tb = out.R_cw, out.t_cw
-        return np.asarray(out.packed[:, :1])
+    # streams-vs-throughput curve (VERDICT r3 item 4): aggregate fps at
+    # B in {1, 2, 4, 8} — real scaling means agg(8)/agg(1) >> 1
+    curve = {}
+    for B in (1, 2, 4, 8):
+        if B > streams:
+            continue
+        take = lambda x: x[:B]
+        clouds = [take(c) for c in clouds0]
+        valids = [take(v) for v in valids0]
+        intens = [take(i) for i in intens0]
+        Js = [take(j) for j in Js0]
+        batchB = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        poses_b = jax.tree.map(batchB, PoseTable.empty())
+        points_b = jax.tree.map(batchB, PointTable.empty())
+        cand = jnp.full((B, 768), -1, jnp.int32)
+        Rb = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+        tb = jnp.zeros((B, 3), jnp.float32)
+        ak = jnp.zeros((B,), jnp.int32)
+        fstep = build_multistream_frontend(
+            None, f_params, f_statics, levels=levels, num_disp=64,
+            dense_subs=FS.DENSE_SUBS_BATCHED)
 
-    run_chain()  # warm/compile
-    t0 = time.perf_counter()
-    run_chain()
-    dt_full = time.perf_counter() - t0
-    full_fps = streams * full_steps / dt_full
+        def run_chain():
+            cl, va, it, J, R, t = clouds, valids, intens, Js, Rb, tb
+            for i in range(1, full_steps + 1):
+                out = fstep(frames_dev[i][:B], cl, it, va, J,
+                            R, t, ak, poses_b, points_b, cand)
+                cl, va, it, J = (out.clouds, out.cloud_valids,
+                                 out.intens, out.cloud_J)
+                R, t = out.R_cw, out.t_cw
+            return np.asarray(out.packed[:, :1])
 
+        run_chain()  # warm/compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_chain()
+            times.append(time.perf_counter() - t0)
+        dt_full = float(np.median(times))
+        curve[B] = round(B * full_steps / dt_full, 1)
+
+    full_fps = curve[max(curve)]
     return {"config": 5, "metric": "batched_frontend_frames_per_sec",
-            "value": round(full_fps, 1), "unit": "frames/sec",
-            "streams": streams,
+            "value": full_fps, "unit": "frames/sec",
+            "streams": max(curve), "aggregate_fps_curve": curve,
+            "scaling_x8": round(full_fps / curve[1], 2) if 1 in curve
+            else None,
             "tracking_core_solves_per_sec": round(solves_per_sec, 1)}
 
 

@@ -146,6 +146,12 @@ class StereoFrontend:
         # zero per-keyframe device work
         self.pr_vocab = None
 
+        # dense-cloud density (per-level extra stride; StreamPool swaps in
+        # the batched reference-CPU-parity density, frontend_step.py)
+        from scavislam_tpu.models.frontend_step import DENSE_SUBS
+
+        self.dense_subs = DENSE_SUBS
+
         # rolling per-frame state (device + small host scalars)
         self._prev_clouds = None
         self._prev_intens = None
@@ -333,6 +339,7 @@ class StereoFrontend:
             int(self.cfg.ui.stereo_method),
             (int(self.cfg.ui.stereo_iters), int(self.cfg.ui.stereo_levels),
              int(self.cfg.ui.stereo_nr_plane)),
+            dense_subs=self.dense_subs,
         )
         self._dev_R_cw = out.R_cw
         self._dev_t_cw = out.t_cw
@@ -347,11 +354,10 @@ class StereoFrontend:
 
     def _empty_prev_state(self, shape):
         h, w = shape
-        from scavislam_tpu.models.frontend_step import DENSE_SUBS
-
         clouds, intens, valids, Js = [], [], [], []
         for l in range(self.levels):
-            sub = DENSE_SUBS[l] if l < len(DENSE_SUBS) else 1
+            sub = (self.dense_subs[l]
+                   if l < len(self.dense_subs) else 1)
             step = (2**l) * sub
             n = -(-h // step) * -(-w // step)
             clouds.append(jnp.zeros((n, 3), jnp.float32))

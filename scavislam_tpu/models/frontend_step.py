@@ -71,7 +71,16 @@ def _patch_offsets_int(size: int):
 def _extract_bucket_patches(img, buckets_uv, buckets_valid):
     """8x8 patches at INTEGER bucket-corner positions: (cy, cx, K, 64).
     Replaces per-candidate bilinear re-sampling (the dominant cost of the
-    match stage: 3.5M bilinear samples per level)."""
+    match stage: 3.5M bilinear samples per level).
+
+    Gather formulation: TPU gathers are TRANSACTION-bound, and gathering
+    multi-element ROWS is ~2.6x cheaper per transaction than scalar takes
+    (measured, benchmarks/micro_gather_batched.py: 196k scalar takes 1.25 ms
+    vs 196k 4-wide rows 0.48 ms). Each patch row of 8 pixels is fetched as
+    TWO 4-wide row gathers from a shifted-stack pack of the image — 16
+    transactions per patch instead of 64 scalar takes (was the dominant,
+    B-linear cost of the batched multistream step: corners+buckets scaled
+    8.4x over 8 vmapped streams)."""
     h, w = img.shape
     cy, cx, K, _ = buckets_uv.shape
     half = PATCH // 2
@@ -83,14 +92,18 @@ def _extract_bucket_patches(img, buckets_uv, buckets_valid):
     ) & buckets_valid
     utc = jnp.clip(ut, 0, w - PATCH)
     vtc = jnp.clip(vt, 0, h - PATCH)
-    offs_r = np.arange(PATCH, dtype=np.int32) - 0  # rows/cols from top-left
-    ou, ov = np.meshgrid(offs_r, offs_r)
-    offs_flat = jnp.asarray((ov * w + ou).reshape(-1))
+    g = img.reshape(-1)
+    # q4[i] = (g[i], g[i+1], g[i+2], g[i+3]); valid bases never wrap rows
+    # (utc <= w - PATCH, chunk start <= utc + 4, so start+3 <= w-1)
+    q4 = jnp.stack(
+        [g, jnp.roll(g, -1), jnp.roll(g, -2), jnp.roll(g, -3)], axis=-1
+    )
+    rows = np.arange(PATCH, dtype=np.int32)
+    chunks = np.arange(0, PATCH, 4, dtype=np.int32)
+    offs16 = jnp.asarray((rows[:, None] * w + chunks[None, :]).reshape(-1))
     base = (vtc * w + utc)[..., None]
-    # flat per-pixel take: measured FASTER on TPU than vmapped
-    # dynamic_slice (16 ms) or lax.gather with (1,8) row slices (120 ms) —
-    # XLA's scalar-indexed gather is the fast path here (7 ms/level-0 grid)
-    vals = jnp.take(img.reshape(-1), base + offs_flat)
+    vals = q4[base + offs16]  # (cy, cx, K, 16, 4)
+    # (16, 4) unpacks row-major to the same (ov, ou) raster order as before
     return vals.reshape(cy, cx, K, PATCH * PATCH), ok
 from scavislam_tpu.ops.stereo import block_matching_disparity
 from scavislam_tpu.core.camera import StereoCamera
@@ -116,6 +129,16 @@ _USE_PALLAS_BM = (
 # still filtered by ZMSSD + the depth-ratio gate — ATE unchanged on the
 # exact-GT suites).
 MATCH_SEARCH_RADIUS_PX = 16.0
+
+# per-level extra subsampling of the dense-tracking cloud (on top of the
+# pyramid's 2^l): level-l effective stride in level-0 pixels is 2^l * sub.
+DENSE_SUBS = (2, 2, 1)
+# batched (multistream) default: the dense LM's gathers are the dominant,
+# B-linear cost of the batched step (measured 31.9 of 54.5 ms at B=8,
+# benchmarks/profile_multistream.py); this density matches the reference's
+# own CPU tracker (every 4th pixel, dense_tracking.h:82) and cuts the cloud
+# 73k -> 18k points. The photometric solve stays over-determined (6 DoF).
+DENSE_SUBS_BATCHED = (4, 4, 2)
 
 
 class FrontendStepOut(NamedTuple):
@@ -292,6 +315,7 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
     static_argnames=(
         "cam_statics", "levels", "num_disp", "use_external_disp",
         "max_reproj_err", "zmssd_thr", "stereo_method", "stereo_opts",
+        "prefilter", "dense_subs",
     ),
 )
 def frontend_step(
@@ -314,6 +338,7 @@ def frontend_step(
     stereo_method: int = 2,  # 1/2 BM, 3 BP, 4 CSBP (stereo_frontend.cpp:535)
     stereo_opts: tuple = (4, 4, 4),  # (iters, levels, nr_plane) for BP/CSBP
     prefilter: bool = True,  # 3x3 binomial sensor-noise prefilter
+    dense_subs: tuple = DENSE_SUBS,  # dense-cloud per-level subsampling
 ) -> FrontendStepOut:
     # -- 1. unpack + preprocess (uint8 frames normalized on device)
     if frames_stacked.dtype == jnp.uint8:
@@ -546,7 +571,7 @@ def frontend_step(
     # anchored at THIS frame)
     clouds, valids, intens, cloud_J = _cloud_state(
         pyr, disp, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
-        cam_params, levels, dxs, dys
+        cam_params, levels, dxs, dys, dense_subs=dense_subs
     )
 
     packed = jnp.concatenate([
@@ -574,11 +599,8 @@ def frontend_step(
     )
 
 
-DENSE_SUBS = (2, 2, 1)  # per-level extra subsampling of the dense cloud
-
-
 def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,
-                 dys=None):
+                 dys=None, dense_subs=DENSE_SUBS):
     """Back-project the disparity map into the ACTKEY frame per level.
 
     Levels are subsampled per DENSE_SUBS (the reference's CPU path samples
@@ -597,7 +619,7 @@ def _cloud_state(pyr, disp, R_cak, t_cak, cam_params, levels, dxs=None,
     Rt = R_cak.T
     for level in range(levels):
         s = 2**level
-        sub = DENSE_SUBS[level] if level < len(DENSE_SUBS) else 1
+        sub = dense_subs[level] if level < len(dense_subs) else 1
         focal, ppx, ppy, baseline = cam_params[level]
         d_l = disp[:: s * sub, :: s * sub]
         hh, ww = d_l.shape

@@ -194,7 +194,7 @@ def build_sharded_ba(mesh: Mesh, cam_params, iters: int = 2,
 
 def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
                                num_disp=64, zmssd_thr=0.18,
-                               max_reproj=2.0):
+                               max_reproj=2.0, dense_subs=None):
     """The FULL fused per-frame frontend step (preprocess -> stereo ->
     dense tracking -> corners -> guided matching -> motion BA -> policy
     stats -> next cloud state) vmapped over a stream batch, optionally
@@ -220,18 +220,20 @@ def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
     """
     from scavislam_tpu.models.frontend_step import (
         _USE_PALLAS_BM,
+        DENSE_SUBS,
         frontend_step,
     )
 
     h_img = cam_statics[0][1]
     use_pallas = _USE_PALLAS_BM and h_img % 32 == 0
+    subs = tuple(dense_subs) if dense_subs is not None else DENSE_SUBS
 
     def one(frames, clouds, intens, valids, Js, R, t, ak, poses, points,
             cand):
         return frontend_step(
             frames, clouds, intens, valids, Js, R, t, ak, poses, points,
             cand, cam_params, cam_statics, levels, num_disp, use_pallas,
-            max_reproj, zmssd_thr, 1,
+            max_reproj, zmssd_thr, 1, dense_subs=subs,
         )
 
     def vstep(frames, clouds, intens, valids, Js, R, t, ak, poses, points,

@@ -100,11 +100,22 @@ class StreamPool:
                 raise ValueError(
                     f"n_streams={n_streams} not divisible by mesh dp={dp}")
         self.fes = [StereoFrontend(cam, self.cfg) for _ in range(self.B)]
+        # batched density: the dense LM's bilinear gathers are the dominant,
+        # B-linear cost of the batched step (31.9 of 54.5 ms at B=8,
+        # benchmarks/profile_multistream.py). Pool streams track at the
+        # reference's own CPU density (every 4th pixel, dense_tracking.h:82)
+        # — 73k -> 18k cloud points — which is what the per-stream rolled
+        # state and spawn programs must match.
+        from scavislam_tpu.models.frontend_step import DENSE_SUBS_BATCHED
+
+        for fe in self.fes:
+            fe.dense_subs = DENSE_SUBS_BATCHED
         fe0 = self.fes[0]
         self.step = build_multistream_frontend(
             mesh, fe0._cam_params, fe0._cam_statics, levels=fe0.levels,
             num_disp=fe0._num_disp,
             max_reproj=float(self.cfg.ui.max_reproj_error),
+            dense_subs=DENSE_SUBS_BATCHED,
         )
         self.trajectories = [[] for _ in range(self.B)]
         self.alive = [True] * self.B

@@ -135,10 +135,14 @@ MATCH_SEARCH_RADIUS_PX = 16.0
 DENSE_SUBS = (2, 2, 1)
 # batched (multistream) default: the dense LM's gathers are the dominant,
 # B-linear cost of the batched step (measured 31.9 of 54.5 ms at B=8,
-# benchmarks/profile_multistream.py); this density matches the reference's
-# own CPU tracker (every 4th pixel, dense_tracking.h:82) and cuts the cloud
-# 73k -> 18k points. The photometric solve stays over-determined (6 DoF).
-DENSE_SUBS_BATCHED = (4, 4, 2)
+# benchmarks/profile_multistream.py); levels 0-1 at every 4th pixel match
+# the reference's own CPU tracker density (dense_tracking.h:82) and cut
+# the cloud 73k -> 27.6k points at 512x384. The COARSE level stays at full
+# density: it carries the large-rotation convergence basin — measured
+# (CPU, deterministic): a 4 deg/frame 360-spin tracks at ATE 0.0172 with
+# (4,4,1) (default (2,2,1): 0.0174) but LOSES TRACKING at frame 7 with
+# (4,4,2); forward-arc ATE is density-invariant at 1e-5.
+DENSE_SUBS_BATCHED = (4, 4, 1)
 
 
 class FrontendStepOut(NamedTuple):

@@ -88,7 +88,13 @@ def main():
 
     import jax.numpy as jnp
 
-    seq = SyntheticSequence(cam, n_frames=n_total, step=0.015)
+    # step 0.06 = the reference's walking-pace workload: ~1 keyframe per
+    # 5-8 frames through the 0.75 m parallax + 75 px track-length drop rules
+    # (stereo_frontend.cpp:512-528) — the headline must PAY keyframe-spawn
+    # cost at the reference's cadence, not amortize it away over a
+    # near-static dolly (VERDICT r4 item 5; the old step 0.015 spawned ~3
+    # keyframes in 230 frames)
+    seq = SyntheticSequence(cam, n_frames=n_total, step=0.06)
     # pre-render + pre-upload all frames as device-resident uint8 stacks —
     # the role of the IO prefetch thread (the reference prefetches 50 frames
     # into RAM, filegrabber.cpp:54-61; on a remote chip the prefetch target
@@ -138,13 +144,17 @@ def main():
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 
+    system.finish()
     system.shutdown()
     fps = n_timed / dt if dt > 0 else 0.0
+    n_kf = len(system.frontend.keyframe_map)
     print(json.dumps({
         "metric": "stereo_slam_fps_512x384",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
+        "keyframes": n_kf,
+        "frames_per_keyframe": round(n_total / max(n_kf, 1), 1),
     }))
 
 

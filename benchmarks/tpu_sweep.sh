@@ -28,4 +28,7 @@ run 900  python benchmarks/profile_loop.py 100
 run 1500 python benchmarks/profile_multistream.py
 run 1200 python benchmarks/profile_stereo_methods.py
 run 2400 python benchmarks/tpu_cpu_parity.py --frames 80
+# keyframe-rich parity: 10+ keyframes, DWO solves + loop closure on both
+# backends (VERDICT r4: the dolly run alone is backend-light)
+run 2400 python benchmarks/tpu_cpu_parity.py --frames 90 --scene spin
 tail -60 "$LOG"

@@ -264,6 +264,11 @@ def main(argv=None):
 
         os.makedirs(args.debug_out, exist_ok=True)
 
+    if args.keyframe_view:
+        # the keyframe debug view reads stored keyframe pyramids; retention
+        # is off by default (bounded device memory on long runs)
+        system.frontend.keep_kf_images = True
+
     watcher = None
     if args.watch:
         from scavislam_tpu.apps.watch import Watcher

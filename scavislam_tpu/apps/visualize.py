@@ -247,6 +247,11 @@ def render_keyframe_view(frontend, kf_id: int, path=None) -> Image.Image:
     the GUI's ui.show_keyframe pyramid views, stereo_slam.cpp:253-257,
     567-607)."""
     kf = frontend.keyframe_map[kf_id]
+    if "pyr" not in kf:
+        raise KeyError(
+            f"keyframe {kf_id} has no stored image: set "
+            "frontend.keep_kf_images = True before the run (retention is "
+            "off by default to bound device memory on long runs)")
     img = _to_img(np.asarray(kf["pyr"][0]))
     draw = ImageDraw.Draw(img)
     ids = frontend.kf_point_ids.get(kf_id, np.zeros(0, np.int64))

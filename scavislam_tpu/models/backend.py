@@ -115,6 +115,15 @@ class Backend:
         self.place_monitor = place_monitor
         self.local_registration_stack: list[int] = []
         self.keyframe_snapshots: dict[int, dict] = {}
+        # recency window of keyframe image snapshots kept on device (see
+        # add_keyframe_packet). 48 covers every root/query consumer in
+        # practice (queries are the current actkey; after a loop closure the
+        # actkey can switch to an older keyframe — 48 spans the loop scales
+        # of the benchmark suite). A root older than the window skips local
+        # registration with a counter instead of failing silently — a
+        # documented bounded-memory deviation from the reference, which
+        # keeps every keyframe image in RAM forever (backend.cpp:549-611).
+        self.SNAPSHOT_KEEP = 48
         self._last_tables = None  # (points_snapshot, poses_snapshot)
         self.prev_kf_id = None
         # observability: why loop-closure/registration attempts succeeded or
@@ -157,6 +166,7 @@ class Backend:
                 if pm is not None:
                     pm.start("back end")
                 if self.graph.prepare_for_optimization(qid):
+                    self.counters["prepare_ok"] += 1
                     self.local_registration_stack.append(qid)
                     self.monitor.pushDrawData(self.draw_data())
                     nb = self.compute_neighborhood(qid)
@@ -167,6 +177,13 @@ class Backend:
                     # neighborhood answer either way, backend.cpp:173-189)
                     self.graph.optimize(num_iters=2, huber=3.0, sync=False)
                     self._graph_dirty = False
+                else:
+                    # a failed prepare skips the solve AND the neighborhood
+                    # push for this query — record why (the reference's
+                    # prepare cannot fail, backend.cpp:173-189; ours can
+                    # only when the window BFS finds < 2 vertices)
+                    self.counters[
+                        "prepare_fail:" + self.graph.last_prepare_fail] += 1
                 if pm is not None:
                     pm.stop("back end")
             did = True
@@ -204,6 +221,15 @@ class Backend:
         self.keyframe_snapshots[pkt.kf_id] = {
             "pyr": pkt.pyr, "disp": pkt.disp, "T_kw": pkt.T_kw,
         }
+        # Bounded device memory (the "Scalable" obligation applied to HBM):
+        # snapshots are only ever read back for the CURRENT root/query
+        # keyframe (local_register_frame, global_loop_closure verify), both
+        # recent by construction — older entries would pin ~0.5 MB of live
+        # device buffers per keyframe for the whole run. Keep a recency
+        # window; the graph itself (host numpy) keeps everything.
+        if len(self.keyframe_snapshots) > self.SNAPSHOT_KEEP:
+            for k in sorted(self.keyframe_snapshots)[:-self.SNAPSHOT_KEEP]:
+                del self.keyframe_snapshots[k]
         self._last_tables = (pkt.points_snapshot, pkt.poses_snapshot)
         if not self.graph.vertices:
             self.graph.add_first_keyframe(pkt.kf_id, pkt.T_kw)
@@ -318,7 +344,13 @@ class Backend:
         keyframe's image, align with motion-only BA, then add METRIC edges
         for neighbors passing a coverage test."""
         g = self.graph
-        if root_id not in g.vertices or root_id not in self.keyframe_snapshots:
+        if root_id not in g.vertices:
+            return False
+        if root_id not in self.keyframe_snapshots:
+            # image snapshot evicted (bounded-memory recency window,
+            # SNAPSHOT_KEEP) — only reachable when the actkey switched to a
+            # keyframe older than the window; observable, not silent
+            self.counters["reg_snapshot_evicted"] += 1
             return False
         if self._last_tables is None:
             return False

@@ -20,6 +20,7 @@ memory; the device tables remain the single source of truth for compute.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -129,6 +130,19 @@ class StereoFrontend:
         self.kf_point_ids: dict[int, np.ndarray] = {}
         self.covis: dict[int, dict[int, int]] = {}
         self.keyframe_map: dict[int, dict] = {}
+        # keep each keyframe's device pyramid/disparity in keyframe_map.
+        # NOTHING in the SLAM pipeline reads them back — only the debug
+        # keyframe view (apps/visualize.render_keyframe_view, parity:
+        # stereo_slam.cpp:253-257). Off by default: on a long run they
+        # accumulate ~0.5 MB of live device buffers per keyframe forever,
+        # the opposite of the DWO bounded-memory story (the apps flip this
+        # on when a keyframe view is requested).
+        self.keep_kf_images = False
+        # when set to a list, process_frame_pipelined appends one
+        # (frame_id, dispatch_s, fetch_wait_s, consume_s) tuple per frame —
+        # the long-run decay diagnosis surface (benchmarks config 7)
+        self.timing_log = None
+        self._fetch_wait_s = 0.0
         self.pose_np: dict[int, tuple] = {}  # host mirror of keyframe poses
         self.actkey_id = -1
         self.neighborhood = None
@@ -398,9 +412,10 @@ class StereoFrontend:
             out, kf_id, None)
         self.kf_point_ids[kf_id] = new_ids
         self.covis[kf_id] = {}
-        self.keyframe_map[kf_id] = {
-            "pyr": out.pyr, "disp": out.disp, "T_kw": T_np,
-        }
+        self.keyframe_map[kf_id] = (
+            {"pyr": out.pyr, "disp": out.disp, "T_kw": T_np}
+            if self.keep_kf_images else {"T_kw": T_np}
+        )
         pkt = AddToOptimizer(
             kf_id, T_np, new_ids, new_psi, new_lvl, new_uvu,
             np.zeros(0, np.int64), np.zeros((0, 3), np.float32),
@@ -475,6 +490,8 @@ class StereoFrontend:
 
         Returns (success, dropped, consumed_frame_id) for the consumed frame,
         or None while the pipeline is still filling."""
+        tlog = self.timing_log
+        t_a = time.perf_counter() if tlog is not None else 0.0
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
@@ -487,11 +504,20 @@ class StereoFrontend:
             [self.frame_id, cand_ids, out, fut, None, None, self._kf_epoch]
         )
         self._roll(out)
+        if tlog is not None:
+            t_b = time.perf_counter()
         if len(self._pending) <= self._effective_depth():
+            if tlog is not None:
+                tlog.append((self.frame_id, t_b - t_a, 0.0, 0.0))
             return None
         entry = self._pending.popleft()
         fid = entry[0]
+        self._fetch_wait_s = 0.0
         success, dropped = self._consume(*entry[1:])
+        if tlog is not None:
+            t_c = time.perf_counter()
+            tlog.append((fid, t_b - t_a, self._fetch_wait_s,
+                         t_c - t_b - self._fetch_wait_s))
         return success, dropped, fid
 
     def flush_pipeline(self):
@@ -601,7 +627,15 @@ class StereoFrontend:
             self._pending_spawn = None
             self._finalize_keyframe(rec, pkt_args)
             spawn_landed = True
-        pk = fut.result() if fut is not None else np.asarray(out.packed)
+        if fut is not None:
+            if self.timing_log is not None and not fut.done():
+                t_w = time.perf_counter()
+                pk = fut.result()
+                self._fetch_wait_s = time.perf_counter() - t_w
+            else:
+                pk = fut.result()
+        else:
+            pk = np.asarray(out.packed)
         R_cw = pk[0:9].reshape(3, 3)
         t_cw = pk[9:12]
         if corr_R is not None:
@@ -947,9 +981,10 @@ class StereoFrontend:
             np.arange(s, s + c, dtype=np.int64)
             for s, c in zip(rec["starts"], rec["caps"])
         ])
-        self.keyframe_map[kf_id] = {
-            "pyr": out.pyr, "disp": out.disp, "T_kw": T_np,
-        }
+        self.keyframe_map[kf_id] = (
+            {"pyr": out.pyr, "disp": out.disp, "T_kw": T_np}
+            if self.keep_kf_images else {"T_kw": T_np}
+        )
         pkt_args = dict(
             kf_id=kf_id, T_cw=T_np,
             tracked_ids=np.asarray(tracked_ids).copy(),

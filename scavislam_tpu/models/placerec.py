@@ -153,7 +153,19 @@ class PlaceRecognizer:
     def __init__(self, cam: StereoCamera, vocabulary: np.ndarray = None,
                  monitor: PlaceRecognizerMonitor = None,
                  score_thr: float = SCORE_THR,
-                 min_inliers: int = MIN_INLIERS):
+                 min_inliers: int = MIN_INLIERS,
+                 idf_mode: str = "reference"):
+        # idf_mode: "reference" ships the reference's UNLOGGED idf =
+        # n_docs/postings (placerecognizer.cpp:161-171) — the shipped
+        # default, threshold 2.0 carries over. "log" is a NON-DEFAULT
+        # experiment flag (BM25-style idf = log1p(n_docs/postings)) that
+        # compresses the common/rare word dynamic range; it exists to
+        # QUANTIFY the corridor-recall cap the reference formula inherits
+        # from idf dilution on self-similar scenes (benchmarks/loop_recall
+        # --idf log; RESULTS.md). Thresholds do not carry over between
+        # modes.
+        assert idf_mode in ("reference", "log")
+        self.idf_mode = idf_mode
         self.cam = cam
         self.vocab = jnp.asarray(
             vocabulary if vocabulary is not None else default_vocabulary()
@@ -264,9 +276,11 @@ class PlaceRecognizer:
             self.word_doc_count[int(w)] += 1
 
         self.counters["indexed"] += 1
+        self.last_best = None  # (kf_id, score) of this query's best match
         if not scores:
             return None
         best_id, best_score = max(scores.items(), key=lambda kv: kv[1])
+        self.last_best = (best_id, float(best_score))
         self.counters["best_score_max"] = max(
             self.counters["best_score_max"], int(best_score * 100))
         if best_score <= self.score_thr:
@@ -293,11 +307,14 @@ class PlaceRecognizer:
         n_docs = float(max(len(self.location_map), 1))
         scores: dict[int, float] = defaultdict(float)
         uw, counts = np.unique(words, return_counts=True)
+        log_mode = self.idf_mode == "log"
         for w, c in zip(uw, counts):
             postings = self.inverted_index.get(int(w))
             if not postings:
                 continue
             idf = n_docs / len(postings)
+            if log_mode:
+                idf = float(np.log1p(idf))
             for kf, kc in postings.items():
                 if kf in exclude:
                     continue

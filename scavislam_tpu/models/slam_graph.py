@@ -170,13 +170,14 @@ class _PendingSolve:
     at dispatch so late adoption after a rebase can be applied as a
     correction instead of a stale overwrite."""
 
-    future: object  # Future -> packed float32 result vector
+    future: object  # Future -> (packed float32 result vector, solve wall s)
     slot_of: dict  # kf_id -> pose slot
     pslot: dict  # point_id -> point slot
     pose_pre: dict  # kf_id -> (R(3,3) f64, t(3,) f64) at dispatch
     psi_pre: dict  # point_id -> psi(3,) f64 at dispatch
     dims: tuple  # (P, L)
     t_dispatch: float
+    n_vertices: int  # map size at dispatch (constant-time evidence axis)
 
 
 class SlamGraph:
@@ -212,6 +213,17 @@ class SlamGraph:
         self.outer_points: set = set()
         self._caps = ba_capacity
         self.stats = {"calc_time": 0.0, "chi2_init": 0.0, "chi2_final": 0.0}
+        # every adopted solve appends (n_vertices_at_dispatch, solve_ms):
+        # the per-solve record the reference keeps in Statistics::calc_time
+        # (slam_graph.cpp:344-352) but never persists. solve_ms is measured
+        # IN THE FETCH WORKER as dispatch -> fetch-landed wall time (device
+        # queue + solve + one link round-trip) — independent of when the
+        # backend happens to poll adopt_pending(), unlike the
+        # dispatch->adoption interval which spans idle gaps.
+        self.solve_log: list = []
+        # why the last prepare_for_optimization returned False (observability
+        # for the constant-time benchmark; reference's prepare cannot fail)
+        self.last_prepare_fail = ""
         # async-solve state: at most ONE solve in flight (see optimize)
         self._pending: Optional[_PendingSolve] = None
         self._fetch_pool: Optional[ThreadPoolExecutor] = None
@@ -497,8 +509,18 @@ class SlamGraph:
         self._active_points()
         self._reinitialize_poses(root_id, old_window, loop_id)
         if len(self.double_window) < 2:
+            # only failure mode: the BFS from root reached nothing — either
+            # the map has a single vertex, or root has no covis links yet
+            # (a query racing its own keyframe's edge insertion)
+            ns = len(self.vertices[root_id].neighbor_strengths) \
+                if root_id in self.vertices else -1
+            self.last_prepare_fail = (
+                "single_vertex_map" if len(self.vertices) < 2
+                else "root_has_no_covis_links" if ns == 0
+                else f"window_degenerate(nbrs={ns})")
             self.double_window = old_window
             return False
+        self.last_prepare_fail = ""
         self._unmarginalize_inner()
         self._marginalize_leaving(old_window)
         self._root_id = root_id
@@ -691,8 +713,16 @@ class SlamGraph:
         if self._fetch_pool is None:
             self._fetch_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ba-fetch")
+
+        def _fetch(arr=packed_dev, t_d=t0):
+            # np.asarray blocks until the device program completes AND the
+            # result crosses the link: worker wall time = honest solve+fetch
+            # latency, whatever the backend's poll cadence is.
+            out = np.asarray(arr)
+            return out, time.perf_counter() - t_d
+
         self._pending = _PendingSolve(
-            future=self._fetch_pool.submit(np.asarray, packed_dev),
+            future=self._fetch_pool.submit(_fetch),
             slot_of=slot_of,
             pslot=pslot,
             pose_pre={kf: (self.vertices[kf].R.copy(),
@@ -701,6 +731,7 @@ class SlamGraph:
             psi_pre={pid: self.points[pid].psi.copy() for pid in pslot},
             dims=(P, L),
             t_dispatch=t0,
+            n_vertices=len(self.vertices),
         )
         if sync:
             self.finish_pending()
@@ -726,12 +757,14 @@ class SlamGraph:
         if p is None or (not force and not p.future.done()):
             return False
         self._pending = None
-        packed = p.future.result()
+        packed, solve_wall = p.future.result()
         P, L = p.dims
         R_new = packed[: P * 9].reshape(P, 3, 3)
         t_new = packed[P * 9: P * 12].reshape(P, 3)
         psi_new = packed[P * 12: P * 12 + L * 3].reshape(L, 3)
-        self.stats["calc_time"] = time.perf_counter() - p.t_dispatch
+        self.stats["calc_time"] = solve_wall
+        if len(self.solve_log) < 65536:
+            self.solve_log.append((p.n_vertices, solve_wall * 1e3))
         self.stats["chi2_init"] = float(packed[-2])
         self.stats["chi2_final"] = float(packed[-1])
 

@@ -104,7 +104,8 @@ class StreamPool:
         # B-linear cost of the batched step (31.9 of 54.5 ms at B=8,
         # benchmarks/profile_multistream.py). Pool streams track at the
         # reference's own CPU density (every 4th pixel, dense_tracking.h:82)
-        # — 73k -> 18k cloud points — which is what the per-stream rolled
+        # — 73k -> 27.6k cloud points at 512x384 (frontend_step.py:
+        # DENSE_SUBS_BATCHED) — which is what the per-stream rolled
         # state and spawn programs must match.
         from scavislam_tpu.models.frontend_step import DENSE_SUBS_BATCHED
 

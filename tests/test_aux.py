@@ -206,6 +206,9 @@ class TestVisualize:
         seq = SyntheticSequence(cam, n_frames=3, step=0.02)
         system = SlamSystem(cam, Config(), threaded=False,
                             enable_loop_closure=False)
+        # keyframe image retention is opt-in (bounded device memory on long
+        # runs); the keyframe view needs it — same wiring as the app
+        system.frontend.keep_kf_images = True
         system.process_first_frame(seq.frame(0))
         for i in (1, 2):
             assert system.process_frame(seq.frame(i))

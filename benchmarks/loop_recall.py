@@ -48,7 +48,8 @@ import numpy as np
 from scavislam_tpu.core.camera import StereoCamera
 from scavislam_tpu.io.synthetic import (SyntheticSequence, closed_box,
                                         default_room)
-from scavislam_tpu.models.placerec import (PlaceRecognizer,
+from scavislam_tpu.models.placerec import (SCORE_THR as SCORE_THR_REF,
+                                           PlaceRecognizer,
                                            default_vocabulary,
                                            random_vocabulary)
 
@@ -122,14 +123,15 @@ def run_scenario(name, planes, kind, n_frames, step, vocab,
                  idf_mode="reference"):
     seq = SyntheticSequence(CAM, n_frames=n_frames, kind=kind,
                             planes=planes, step=step)
-    # "log" idf runs with a ~0 retrieval threshold and the operating point
-    # is chosen POST-HOC by threshold sweep (exactly equivalent to running
-    # with that threshold: the best-candidate selection is threshold-
-    # independent and the geometric check is per-(query, best) deterministic)
-    pr = (PlaceRecognizer(CAM, vocabulary=vocab)
-          if idf_mode == "reference" else
-          PlaceRecognizer(CAM, vocabulary=vocab, idf_mode="log",
-                          score_thr=1e-9))
+    # both modes run with a ~0 retrieval threshold; operating points are
+    # evaluated POST-HOC by filtering detections on their retrieval score
+    # (exactly equivalent to running with that threshold: best-candidate
+    # selection is threshold-independent and the geometric check is
+    # per-(query, best) deterministic). The reference mode's HEADLINE
+    # numbers stay at the shipped 2.0 threshold; the sweep rows quantify
+    # how much recall the retrieval gate itself costs.
+    pr = PlaceRecognizer(CAM, vocabulary=vocab, idf_mode=idf_mode,
+                         score_thr=1e-9)
     geo_checks = [0]
     inner_check = pr._geometric_check
 
@@ -172,19 +174,19 @@ def run_scenario(name, planes, kind, n_frames, step, vocab,
                 len(fired & has_gt) / max(len(has_gt), 1),
                 len(act), len(corr))
 
-    if idf_mode == "reference":
-        thr = pr.score_thr
-    else:
-        # operating point: max recall subject to precision == 1.0 over the
-        # observed score set (falls back to best F1 if P=1 is unreachable)
-        cands = sorted({s for _, s in detections}) or [0.0]
-        best = None
-        for c in [0.0] + [s - 1e-9 for s in cands]:
-            p, r, _, _ = _pr_at(c)
-            key = (p >= 1.0, r, -c)
-            if best is None or key > best[0]:
-                best = (key, c)
-        thr = best[1]
+    # best operating point: max recall subject to precision == 1.0, ties
+    # broken toward the LARGEST threshold (the safest margin); falls back
+    # to best recall if P=1 is unreachable
+    cands = sorted({s for _, s in detections}) or [0.0]
+    best = None
+    for c in [0.0] + [s - 1e-9 for s in cands]:
+        p, r, _, _ = _pr_at(c)
+        key = (p >= 1.0, r, c)
+        if best is None or key > best[0]:
+            best = (key, c)
+    best_thr = best[1]
+    bp, br, _, _ = _pr_at(best_thr)
+    thr = SCORE_THR_REF if idf_mode == "reference" else best_thr
     precision, recall, n_det, n_corr = _pr_at(thr)
     out = {
         "scenario": name, "frames": n_frames,
@@ -194,6 +196,11 @@ def run_scenario(name, planes, kind, n_frames, step, vocab,
         "geo_checks": geo_checks[0],
         "precision": round(precision, 3), "recall": round(recall, 3),
         "score_thr": round(thr, 4), "min_inliers": pr.min_inliers,
+        # the gate-cost decomposition: recall with the retrieval threshold
+        # swept to its max-recall@P=1 point (geometry alone holds precision)
+        "best_thr": round(best_thr, 4),
+        "precision_at_best_thr": round(bp, 3),
+        "recall_at_best_thr": round(br, 3),
     }
     print(json.dumps(out))
     return out

@@ -221,15 +221,7 @@ class Backend:
         self.keyframe_snapshots[pkt.kf_id] = {
             "pyr": pkt.pyr, "disp": pkt.disp, "T_kw": pkt.T_kw,
         }
-        # Bounded device memory (the "Scalable" obligation applied to HBM):
-        # snapshots are only ever read back for the CURRENT root/query
-        # keyframe (local_register_frame, global_loop_closure verify), both
-        # recent by construction — older entries would pin ~0.5 MB of live
-        # device buffers per keyframe for the whole run. Keep a recency
-        # window; the graph itself (host numpy) keeps everything.
-        if len(self.keyframe_snapshots) > self.SNAPSHOT_KEEP:
-            for k in sorted(self.keyframe_snapshots)[:-self.SNAPSHOT_KEEP]:
-                del self.keyframe_snapshots[k]
+        self._evict_snapshots()
         self._last_tables = (pkt.points_snapshot, pkt.poses_snapshot)
         if not self.graph.vertices:
             self.graph.add_first_keyframe(pkt.kf_id, pkt.T_kw)
@@ -278,6 +270,17 @@ class Backend:
                     "pr_packed": getattr(pkt, "pr_packed", None),
                 }
             )
+
+    def _evict_snapshots(self):
+        """Bounded device memory (the "Scalable" obligation applied to HBM):
+        snapshots are only ever read back for the CURRENT root/query
+        keyframe (local_register_frame, global_loop_closure verify), both
+        recent by construction — older entries would pin ~0.5 MB of live
+        device buffers per keyframe for the whole run. Keep a recency
+        window; the graph itself (host numpy) keeps everything."""
+        if len(self.keyframe_snapshots) > self.SNAPSHOT_KEEP:
+            for k in sorted(self.keyframe_snapshots)[:-self.SNAPSHOT_KEEP]:
+                del self.keyframe_snapshots[k]
 
     # -- B: neighborhood -------------------------------------------------- #
     def compute_neighborhood(self, root_id: int) -> dict:

@@ -139,3 +139,24 @@ class TestIntegration:
         # after at least one query, the frontend adopted a neighborhood
         if len(be.graph.vertices) >= 2:
             assert fe.neighborhood is not None
+
+    def test_bounded_device_memory(self, system):
+        """Long-run memory discipline: the frontend keeps no per-keyframe
+        device images by default (retention is opt-in for the debug
+        keyframe view) and the backend's snapshot window is bounded."""
+        fe, be, est, gt = system
+        assert all("pyr" not in v and "disp" not in v
+                   for v in fe.keyframe_map.values())
+        assert len(be.keyframe_snapshots) <= be.SNAPSHOT_KEEP
+
+    def test_snapshot_eviction_window(self, system):
+        """_evict_snapshots keeps only the newest SNAPSHOT_KEEP entries."""
+        fe, be, est, gt = system
+        saved = dict(be.keyframe_snapshots), be.SNAPSHOT_KEEP
+        try:
+            be.keyframe_snapshots = {k: {"T_kw": None} for k in range(10)}
+            be.SNAPSHOT_KEEP = 3
+            be._evict_snapshots()
+            assert sorted(be.keyframe_snapshots) == [7, 8, 9]
+        finally:
+            be.keyframe_snapshots, be.SNAPSHOT_KEEP = saved

@@ -243,6 +243,55 @@ class TestAsyncSolve:
             np.testing.assert_array_equal(ga.points[p].psi, gb.points[p].psi)
         assert gb.stats["chi2_final"] == ga.stats["chi2_final"]
 
+    def test_solve_log_records_worker_measured_wall(self):
+        """Every adopted solve appends (map size at dispatch, solve ms) to
+        solve_log — the per-solve record the reference keeps in
+        Statistics::calc_time (slam_graph.cpp:344-352). The wall time is
+        measured in the fetch worker (dispatch -> fetch landed), so it must
+        NOT include however long the caller idles before adopting."""
+        import time as _time
+
+        g, _ = build_graph(8, perturb=0.01)
+        assert g.prepare_for_optimization(7)
+        t0 = _time.perf_counter()
+        g.optimize(num_iters=2, sync=False)
+        # idle before adopting: an adopt-time measurement would count this
+        while not g.solve_ready():
+            _time.sleep(0.002)
+        t_ready_ms = (_time.perf_counter() - t0) * 1e3
+        _time.sleep(0.25)
+        assert g.adopt_pending()
+        assert len(g.solve_log) == 1
+        n_verts, ms = g.solve_log[0]
+        assert n_verts == 8
+        assert 0.0 < ms
+        assert g.stats["calc_time"] * 1e3 == ms
+        # the 250 ms idle gap before adoption must not be in the sample:
+        # the worker's clock stops when the fetch lands (<= t_ready)
+        assert ms <= t_ready_ms + 50.0, (
+            f"solve_log sample {ms:.0f} ms exceeds the dispatch->ready "
+            f"interval {t_ready_ms:.0f} ms — it includes the adoption gap")
+        # a second solve appends a second sample
+        assert g.prepare_for_optimization(7)
+        g.optimize(num_iters=2, sync=True)
+        assert len(g.solve_log) == 2
+
+    def test_prepare_fail_reason_recorded(self):
+        """prepare_for_optimization's only failure mode (window BFS < 2
+        vertices) must be attributable (VERDICT r4 weak 3)."""
+        from scavislam_tpu.models.slam_graph import SlamGraph
+        from scavislam_tpu.core.camera import StereoCamera
+
+        cam = StereoCamera.create(100.0, (32.0, 24.0), (64, 48), 0.1)
+        g = SlamGraph(cam, covis_thr=5)
+        g.add_first_keyframe(0)
+        assert not g.prepare_for_optimization(0)
+        assert g.last_prepare_fail == "single_vertex_map"
+        # success clears the reason
+        g2, _ = build_graph(8)
+        assert g2.prepare_for_optimization(7)
+        assert g2.last_prepare_fail == ""
+
     def test_mutating_methods_force_adoption(self):
         """prepare_for_optimization must adopt the in-flight solve before
         touching the window (asynchrony never reorders graph updates)."""

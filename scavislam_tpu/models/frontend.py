@@ -54,6 +54,31 @@ from scavislam_tpu.utils.config import Config
 _POSE_SCATTER_CAP = 128
 _PSI_SCATTER_CAP = 8192
 
+
+@jax.jit
+def _nb_scatter_packed(R_tab, t_tab, valid_tab, psi_tab, buf):
+    """Neighborhood adoption as ONE device program over ONE packed upload:
+    pose writeback (R, t, valid — semantics of PoseTable.set_many) and psi
+    writeback (semantics of scatter_psi) fused. Layout of `buf` (f32):
+    [pose idx (P), R (P*9), t (P*3), psi idx (C), psi (C*3)]; indices are
+    integral f32 values (pad sentinel 1<<30 is exactly representable) and
+    drop-mode scatters ignore the OOB padding rows."""
+    P, C = _POSE_SCATTER_CAP, _PSI_SCATTER_CAP
+    o = 0
+    pidx = buf[o:o + P].astype(jnp.int32)
+    o += P
+    Rp = buf[o:o + P * 9].reshape(P, 3, 3)
+    o += P * 9
+    tp = buf[o:o + P * 3].reshape(P, 3)
+    o += P * 3
+    cidx = buf[o:o + C].astype(jnp.int32)
+    o += C
+    vals = buf[o:o + C * 3].reshape(C, 3)
+    return (R_tab.at[pidx].set(Rp, mode="drop"),
+            t_tab.at[pidx].set(tp, mode="drop"),
+            valid_tab.at[pidx].set(True, mode="drop"),
+            psi_tab.at[cidx].set(vals, mode="drop"))
+
 # static capacities
 CAND_CAP = 768  # candidate points considered per frame (measured live
 # candidate counts 420-700 on New College-shaped runs; the reference's
@@ -194,6 +219,10 @@ class StereoFrontend:
         # deferred keyframe spawn: (rec, pkt_args) whose payload fetch is in
         # flight; finalized once the fetch lands (pipelined mode only)
         self._pending_spawn = None
+        # in-flight neighborhood-adoption upload (apply_neighborhood ships
+        # the packed scatter buffer via the fetch pool; the scatter applies
+        # at the next frame once the upload lands)
+        self._nb_pending = None
         # True after a RESCUE spawn (see _consume) until a frame passes the
         # tracking floor again: a second below-floor frame while a rescue is
         # unvalidated is a genuine loss, not staleness
@@ -429,6 +458,7 @@ class StereoFrontend:
 
     def process_frame(self, frame: dict):
         """Track one frame. Returns (success, dropped_new_keyframe)."""
+        self._apply_nb_pending(block=True)  # sync mode: no table lag
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
@@ -492,6 +522,7 @@ class StereoFrontend:
         or None while the pipeline is still filling."""
         tlog = self.timing_log
         t_a = time.perf_counter() if tlog is not None else 0.0
+        self._apply_nb_pending()
         self.frame_id = frame.get("frame_id", self.frame_id + 1)
         cand_ids = self._collect_candidates()
         out = self._run_step(frame, cand_ids)
@@ -1060,45 +1091,56 @@ class StereoFrontend:
     # -- backend feedback --------------------------------------------------- #
     def apply_neighborhood(self, nb):
         """Adopt a backend-optimized neighborhood (stereo_slam.cpp:694-703:
-        adopt only if it contains the current actkey)."""
+        adopt only if it contains the current actkey).
+
+        The whole adoption is ONE packed upload + ONE fused scatter program
+        (_nb_scatter_packed). The previous shape — separate pose/psi
+        scatters with ~6 small uploads — cost a ~25-30 ms tunnel round-trip
+        PER ARRAY once per keyframe; at reference keyframe cadence
+        (~1/5-10 frames) that was the dominant per-keyframe frame-loop cost
+        (measured: ~46 ms of extra wall per keyframe, most of it in this
+        method)."""
         if nb is None or self.actkey_id not in nb.get("kf_ids", []):
             return False
         nb_poses = nb.get("poses", {})
+        P, C = _POSE_SCATTER_CAP, _PSI_SCATTER_CAP
+        # index padding 1<<30 (exactly representable in f32; the device
+        # casts back to int32 and drop-mode scatters ignore OOB rows)
+        pidx = np.full(P, 1 << 30, np.int32)
+        Rp = np.zeros((P, 3, 3), np.float32)
+        tp = np.zeros((P, 3), np.float32)
         if nb_poses:
-            # ONE fixed-shape batched scatter (padded to a bucket size):
-            # per-keyframe .set() dispatched a program per pose, and eager
-            # variable-length scatters recompiled every keyframe (~3.5 s)
-            kfs = np.fromiter(nb_poses.keys(), np.int64, len(nb_poses))
-            Rs = np.stack([nb_poses[int(k)][0] for k in kfs]).astype(np.float32)
-            ts = np.stack([nb_poses[int(k)][1] for k in kfs]).astype(np.float32)
-            cap = _POSE_SCATTER_CAP
-            kfs = kfs[:cap]
-            Rs, ts = Rs[:cap], ts[:cap]
-            idx = np.full(cap, 1 << 30, np.int32)
-            idx[: len(kfs)] = kfs
-            Rp = np.zeros((cap, 3, 3), np.float32)
+            kfs = np.fromiter(nb_poses.keys(), np.int64, len(nb_poses))[:P]
+            Rs = np.stack([nb_poses[int(k)][0]
+                           for k in kfs]).astype(np.float32)
+            ts = np.stack([nb_poses[int(k)][1]
+                           for k in kfs]).astype(np.float32)
+            pidx[: len(kfs)] = kfs
             Rp[: len(kfs)] = Rs
-            tp = np.zeros((cap, 3), np.float32)
             tp[: len(kfs)] = ts
-            self.poses = self.poses.set_many(
-                jnp.asarray(idx), jnp.asarray(Rp), jnp.asarray(tp)
-            )
             for k, R, t in zip(kfs, Rs, ts):
                 self.pose_np[int(k)] = (R, t)
+        cidx = np.full(C, 1 << 30, np.int32)
+        vals = np.zeros((C, 3), np.float32)
         pids = nb.get("psi_ids")
-        if pids is not None and len(pids) > 0:
-            n = min(len(pids), _PSI_SCATTER_CAP)
-            cap = _PSI_SCATTER_CAP
-            pids = np.asarray(pids)[:n]
-            idx = np.full(cap, 1 << 30, np.int32)
-            idx[:n] = pids
-            vals = np.zeros((cap, 3), np.float32)
-            vals[:n] = np.asarray(nb["psi_vals"], np.float32)[:n]
-            self.points = self.points._replace(
-                psi=scatter_psi(
-                    self.points.psi, jnp.asarray(idx), jnp.asarray(vals)
-                )
-            )
+        n_psi = 0 if pids is None else min(len(pids), C)
+        if n_psi:
+            cidx[:n_psi] = np.asarray(pids)[:n_psi]
+            vals[:n_psi] = np.asarray(nb["psi_vals"], np.float32)[:n_psi]
+        if nb_poses or n_psi:
+            buf = np.concatenate([
+                pidx.astype(np.float32), Rp.reshape(-1), tp.reshape(-1),
+                cidx.astype(np.float32), vals.reshape(-1),
+            ])
+            # the upload is SYNCHRONOUS on the tunnel (~30 ms): ship it via
+            # the fetch pool and apply the scatter when it lands (next
+            # frame) — table ids written here (backend-optimized poses/psis)
+            # are disjoint from anything a spawn writes in between, and one
+            # frame of device-table lag is far inside the adoption's own
+            # backend-poll staleness. Host mirrors update immediately below.
+            if self._nb_pending is not None:
+                self._apply_nb_pending(block=True)
+            self._nb_pending = self._fetch_pool.submit(jnp.asarray, buf)
         # keep world pose consistent with the (possibly moved) actkey.
         # SVD-project the product back onto SO(3): each adoption multiplies
         # more near-rotations together, and without the projection the
@@ -1133,6 +1175,23 @@ class StereoFrontend:
         self.neighborhood = nb
         self._cand_np = None  # neighborhood may add candidates
         return True
+
+    def _apply_nb_pending(self, block: bool = False):
+        """Apply a landed neighborhood-adoption upload to the device tables
+        (ONE dispatch, zero fetches). Called at the top of every frame; with
+        ``block`` waits for the upload (only when a second adoption arrives
+        before the first applied — rare)."""
+        fut = self._nb_pending
+        if fut is None or (not block and not fut.done()):
+            return
+        self._nb_pending = None
+        dev_buf = fut.result()
+        Rn, tn, vn, psin = _nb_scatter_packed(
+            self.poses.R, self.poses.t, self.poses.valid,
+            self.points.psi, dev_buf,
+        )
+        self.poses = PoseTable(Rn, tn, vn)
+        self.points = self.points._replace(psi=psin)
 
 
 def _project_so3(R: np.ndarray) -> np.ndarray:

@@ -61,6 +61,19 @@ def _warm(cam, cfg, frames, loop_closure=False, n=8):
         if not w.process_frame(dict(f)):
             break
     w.finish()
+    # warm the LOCAL-REGISTRATION program family (corner re-detection +
+    # standalone match levels + robust BA): it only compiles at the first
+    # registration, which otherwise lands IN the timed run (measured as a
+    # ~10 s first-window stall on config 7)
+    be = w.backend
+    if be.keyframe_snapshots and be._last_tables is not None:
+        import numpy as _np
+
+        snap = be.keyframe_snapshots[max(be.keyframe_snapshots)]
+        root = max(be.graph.vertices)
+        be._match_and_align(snap, be.graph.vertices[root].T,
+                            _np.arange(64, dtype=_np.int64),
+                            *be._last_tables)
     w.shutdown()
 
 
@@ -90,14 +103,18 @@ def config1(n=230):
     from scavislam_tpu.io.synthetic import SyntheticSequence
     from scavislam_tpu.utils.config import Config
 
+    from scavislam_tpu.io.synthetic import closed_box
+
     cfg = Config()
     cam = build_camera(cfg)
-    # step 0.06: reference walking-pace cadence (~1 keyframe per 5-8
-    # frames, stereo_frontend.cpp:512-528) so the fps pays spawn + backend
-    # cost at the reference workload (VERDICT r4 item 5; step 0.004 spawned
-    # 3 keyframes in 230 frames — prior-round values under this metric key
-    # are not comparable)
-    seq = SyntheticSequence(cam, n_frames=n, step=0.06)
+    # wander-in-closed-box at reference walking-pace cadence (~1 keyframe
+    # per 5-12 frames, stereo_frontend.cpp:512-528) so the fps pays spawn +
+    # backend cost at the reference workload over the WHOLE run (VERDICT r4
+    # item 5; the old step-0.004 dolly spawned 3 keyframes in 230 frames,
+    # and walking-pace dollies exit the finite synthetic room — prior-round
+    # values under this metric key are not comparable)
+    seq = SyntheticSequence(cam, n_frames=n, kind="wander",
+                            planes=closed_box(), step=0.06)
     frames = _prep_frames(seq, n)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
                      pipelined=True, pipeline_depth=3)
@@ -106,7 +123,7 @@ def config1(n=230):
     n_kf = len(system.frontend.keyframe_map)
     return {"config": 1, "metric": "newcollege_subset_fps", "value": round(fps, 2),
             "unit": "frames/sec", "ate_rmse_m": round(ate, 4),
-            "trajectory_step_m": 0.06,
+            "workload": "wander_closed_box_step0.06",
             "frames_per_keyframe": round(n / max(n_kf, 1), 1),
             "keyframes": n_kf}
 
@@ -639,6 +656,7 @@ def config7(n=1000):
                 float(np.median([e[1 + j] for e in blk])) * 1e3, 2))
     prepare_counters = {k: v for k, v in be.counters.items()
                         if k.startswith("prepare")}
+    solve_kfs = sorted(kf for kf, _ in solve_log)
     return {"config": 7, "metric": "constant_time_flatness_ratio",
             "value": round(flat, 3), "unit": "late/early backend ms ratio",
             "keyframes": n_kf,
@@ -656,6 +674,8 @@ def config7(n=1000):
             "solve_ms_late_median": round(
                 float(np.median(solve_late)), 2) if solve_late else -1.0,
             "frontend_ms_windows": stage_windows,
+            "solve_sample_kfs": solve_kfs,
+            "backend_counters": dict(be.counters),
             "prepare_counters": prepare_counters}
 
 

@@ -22,7 +22,10 @@ identical corners because detection is deterministic.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from scavislam_tpu.core.camera import StereoCamera
@@ -115,6 +118,12 @@ class Backend:
         self.place_monitor = place_monitor
         self.local_registration_stack: list[int] = []
         self.keyframe_snapshots: dict[int, dict] = {}
+        # minimum wall-clock spacing between device-solve dispatches (and
+        # the local registrations they queue) — the device-time budget
+        # shared with the tracking loop; see step(). At real camera rates
+        # every keyframe solves; at benchmark streaming rates ~2 keyframes
+        # batch per solve. 0 restores the reference's solve-per-query.
+        self.MIN_SOLVE_PERIOD_S = 0.15
         # recency window of keyframe image snapshots kept on device (see
         # add_keyframe_packet). 48 covers every root/query consumer in
         # practice (queries are the current actkey; after a loop closure the
@@ -148,35 +157,71 @@ class Backend:
             did = True
 
         qid = self.monitor.getQueryFrameId()
+        if (qid is not None and qid not in self.graph.vertices
+                and self.graph.vertices):
+            # The deferred-spawn pipeline delivers the query for a NEW
+            # actkey before its keyframe packet arrives (the reference's
+            # synchronous spawn guarantees push-before-query ordering,
+            # stereo_slam.cpp:690,711-717 — our spawn payload fetch defers
+            # the push a few frames, which is about one keyframe period at
+            # reference cadence, so the query cell nearly always names a
+            # not-yet-inserted keyframe). Discarding unknown ids starved
+            # prepare/optimize down to the rare alignment window (measured:
+            # 1 prepare in 142 keyframes). Serve the query at its newest
+            # INSERTED ancestor instead — keyframe ids are monotonic, and
+            # the newest vertex is the queried actkey's direct covis parent,
+            # so the double window and neighborhood are the same region.
+            self.counters["query_served_at_ancestor"] += 1
+            qid = max(self.graph.vertices)
         if qid is not None and qid in self.graph.vertices:
-            # Throttle idle re-optimization: the reference re-optimizes on
-            # EVERY neighborhood query (backend.cpp:173-189) because its
-            # backend owns a dedicated CPU core; here backend work serializes
-            # with the tracking loop on ONE device, so idle refinement runs
-            # at most every IDLE_OPT_PERIOD queries while graph-changing
-            # events (new keyframes/loops) always trigger a solve.
+            # Device-time budget: the reference re-optimizes on EVERY
+            # neighborhood query (backend.cpp:173-189) because its backend
+            # owns a dedicated CPU core; here the DWO solve and local
+            # registration run on the SAME chip as the tracking loop, so
+            # unthrottled per-keyframe device work stole ~10-16 ms/frame at
+            # benchmark frame rates (measured: 80 -> 36 fps at 1 keyframe /
+            # 7 frames). The wall-clock throttle keeps mapping at the
+            # reference's information cadence per SECOND: at real camera
+            # rates (keyframes every >= MIN_SOLVE_PERIOD_S) every keyframe
+            # still solves; when frames stream faster than real time the
+            # solve batches ~2 keyframes per dispatch. The host-side window
+            # prepare + neighborhood answer still run on every dirty query
+            # — only the device solve + registration are budgeted.
             self._query_count = getattr(self, "_query_count", 0) + 1
             dirty = getattr(self, "_graph_dirty", True)
+            now = time.monotonic()
+            budget_ok = (now - getattr(self, "_last_solve_t", 0.0)
+                         >= self.MIN_SOLVE_PERIOD_S)
             # idle refinement every 24 queries: an idle re-opt costs ~85 ms
             # of device time stolen from the tracking loop (~10 ms/frame
             # amortized at period 8 — measured); graph-changing events still
-            # always solve via the dirty flag.
+            # always solve via the dirty flag (budget permitting).
             if dirty or self._query_count % 24 == 0:
                 pm = getattr(self, "per_mon", None)
                 if pm is not None:
                     pm.start("back end")
                 if self.graph.prepare_for_optimization(qid):
                     self.counters["prepare_ok"] += 1
-                    self.local_registration_stack.append(qid)
-                    self.monitor.pushDrawData(self.draw_data())
+                    # the draw snapshot clones O(map) state per prepare;
+                    # build it only when something consumes it (the
+                    # reference's GUI always draws — headless runs don't)
+                    if self.monitor.want_draw_data:
+                        self.monitor.pushDrawData(self.draw_data())
                     nb = self.compute_neighborhood(qid)
                     self.monitor.pushNeighborhood(nb)
-                    # async dispatch: the solve + its fetch overlap with the
-                    # tracking loop; adopted at the top of a later poll (the
-                    # optimized poses reach the frontend through the NEXT
-                    # neighborhood answer either way, backend.cpp:173-189)
-                    self.graph.optimize(num_iters=2, huber=3.0, sync=False)
-                    self._graph_dirty = False
+                    if budget_ok:
+                        self.local_registration_stack.append(qid)
+                        # async dispatch: the solve + its fetch overlap with
+                        # the tracking loop; adopted at the top of a later
+                        # poll (the optimized poses reach the frontend
+                        # through the NEXT neighborhood answer either way,
+                        # backend.cpp:173-189)
+                        self.graph.optimize(num_iters=2, huber=3.0,
+                                            sync=False)
+                        self._graph_dirty = False
+                        self._last_solve_t = now
+                    else:
+                        self.counters["solve_deferred_budget"] += 1
                 else:
                     # a failed prepare skips the solve AND the neighborhood
                     # push for this query — record why (the reference's
@@ -238,13 +283,20 @@ class Backend:
                     int(pkt.new_levels[i]),
                 )
         else:
+            # bulk-convert ONCE; row views of the f64 arrays avoid the
+            # ~2N small np.asarray calls the per-element form cost (the
+            # insert runs on the backend thread but its host time is GIL
+            # time stolen from the frame loop on a small host)
+            new_psi64 = np.asarray(pkt.new_psi, np.float64)
+            new_uvu64 = np.asarray(pkt.new_uvu, np.float64)
             new_points = [
-                (int(pid), pkt.new_psi[i], int(pkt.new_levels[i]),
-                 pkt.new_uvu[i])
+                (int(pid), new_psi64[i], int(pkt.new_levels[i]),
+                 new_uvu64[i])
                 for i, pid in enumerate(pkt.new_point_ids)
             ]
+            tr_obs64 = np.asarray(pkt.tracked_obs, np.float64)
             tracked = [
-                (int(pid), pkt.tracked_obs[i], int(pkt.tracked_levels[i]))
+                (int(pid), tr_obs64[i], int(pkt.tracked_levels[i]))
                 for i, pid in enumerate(pkt.tracked_point_ids)
             ]
             oldkey = self.prev_kf_id if self.prev_kf_id is not None else (
@@ -496,11 +548,21 @@ class Backend:
             g.optimize(num_iters=2, huber=3.0, sync=False)
         return True
 
+    # (builder defined at module level below: _build_register_packed)
+
     # -- shared match+align ------------------------------------------------ #
     def _match_and_align(self, snap, T_init: SE3, cand_ids, points_tab,
                          poses_tab):
         """2-pass guided match + motion-only BA against a stored keyframe
-        snapshot (parity: Backend::matchAndAlign, backend.cpp:725-784)."""
+        snapshot (parity: Backend::matchAndAlign, backend.cpp:725-784).
+
+        The whole 2-pass refine (corner re-detection on every level + guided
+        match + robust BA, twice) is ONE jitted program with ONE packed
+        fetch (_build_register_packed). The unfused shape dispatched ~18
+        device programs + 2 packed fetches + 1 table fetch per registration
+        — at per-keyframe registration cadence that was the dominant
+        backend device cost (measured ~125 ms backend-blocking per
+        keyframe, config 7)."""
         pyr = snap["pyr"]
         disp = snap["disp"]
         ids = np.full(CAND_CAP, -1, np.int64)
@@ -510,72 +572,104 @@ class Backend:
         xyz_w, R_aw, t_aw, patches, ok = materialize_points(
             poses_tab, points_tab, ids_j
         )
-        levels_arr = np.asarray(points_tab.level)[
-            np.clip(ids, 0, points_tab.level.shape[0] - 1)
-        ]
-        T_est = T_init
-        matched_all = None
-        lvl_masks = [
-            jnp.asarray((levels_arr == lvl) & (ids >= 0))
-            for lvl in range(self.levels)
-        ]
-        for _pass in range(2):
-            # keep everything on device; ONE packed fetch per pass
-            obs_dev = jnp.zeros((CAND_CAP, 3), jnp.float32)
-            matched_dev = jnp.zeros(CAND_CAP, bool)
-            for lvl in range(self.levels):
-                # detection on the smoothed level — MUST mirror the frame
-                # step's prefilter (frontend_step.py) so the re-detected
-                # corners equal the frontend's (deterministic re-detection
-                # replaces the reference's stored per-cell thresholds,
-                # fast_grid.cpp:60-83); smoothing is fused INTO the jitted
-                # detection (an eager binomial3 here dispatched ~7 device
-                # ops per level x pass x registration over the tunnel)
+        lvl_ids = points_tab.level[
+            jnp.clip(ids_j, 0, points_tab.level.shape[0] - 1)
+        ].astype(jnp.int32)
+        cam_key = tuple(
+            (float(c.focal), float(c.pp[0]), float(c.pp[1]),
+             float(c.baseline), int(c.size[0]), int(c.size[1]))
+            for c in self.cams
+        )
+        fn = _build_register_packed(
+            cam_key, 0.18, float(self.cfg.ui.max_reproj_error) * 2.0)
+        C = CAND_CAP
+        packed = np.asarray(fn(
+            pyr, disp,
+            jnp.asarray(np.asarray(T_init.R), jnp.float32),
+            jnp.asarray(np.asarray(T_init.t), jnp.float32),
+            xyz_w, R_aw, t_aw, patches, ok, lvl_ids, ids_j >= 0,
+        ))
+        g1 = packed[0]
+        gate = packed[1:1 + C] > 0.5
+        obs_all = packed[1 + C:1 + 4 * C].reshape(C, 3)
+        levels_arr = packed[1 + 4 * C:1 + 5 * C].astype(np.int64)
+        R_new = packed[1 + 5 * C:1 + 5 * C + 9].reshape(3, 3)
+        t_new = packed[1 + 5 * C + 9:1 + 5 * C + 12]
+        if g1 < 10 or gate.sum() < 10:
+            return None, None, None, None
+        T_est = SE3(jnp.asarray(R_new), jnp.asarray(t_new))
+        sel = np.flatnonzero(gate)
+        return ids[sel], obs_all[sel], levels_arr[sel], T_est
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _build_register_packed(cam_key, zmssd_thr, reject_thresh):
+    """Build (and cache process-wide) the fused registration program for a
+    camera pyramid: BOTH refine passes of matchAndAlign — per-level corner
+    re-detection (prefiltered, mirroring the frame step), guided matching,
+    and robust motion-only BA — as ONE jitted program returning ONE packed
+    vector [pass1 gate count, gate, obs(uvu), point levels, R, t].
+
+    ``cam_key`` is a tuple of per-level (focal, ppx, ppy, baseline, w, h).
+    The second pass runs unconditionally on device even when pass 1 failed
+    (the host checks the pass-1 gate count and discards the result) — a
+    few wasted device microseconds against two saved link round-trips.
+    Parity: Backend::matchAndAlign (backend.cpp:725-784); the reference
+    re-detects with stored per-cell FAST thresholds (fast_grid.cpp:60-83),
+    we re-detect deterministically with the frame step's exact prefilter."""
+    from scavislam_tpu.core.camera import StereoCamera
+
+    levels = len(cam_key)
+    f0, ppx0, ppy0, b0, w0, h0 = cam_key[0]
+    cam0 = StereoCamera.create(f0, (ppx0, ppy0), (w0, h0), b0)
+
+    def fn(pyr, disp, R0, t0, xyz_w, R_aw, t_aw, patches, ok, lvl_ids,
+           valid_ids):
+        C = xyz_w.shape[0]
+        T_est = SE3(R0, t0)
+        lvl_w = 0.25 ** lvl_ids.astype(jnp.float32)
+        g1_count = jnp.zeros((), jnp.float32)
+        gate = jnp.zeros(C, bool)
+        obs_dev = jnp.zeros((C, 3), jnp.float32)
+        for p, radius in enumerate((15.0, 6.0)):
+            obs_dev = jnp.zeros((C, 3), jnp.float32)
+            matched_dev = jnp.zeros(C, bool)
+            for lvl in range(levels):
+                fl, ppxl, ppyl, bl, wl, hl = cam_key[lvl]
                 buckets = corner_buckets_prefiltered(
                     pyr[lvl],
                     threshold=10.0 / 255.0,
-                    cells_y=max(self.cams[lvl].height // 8, 4),
-                    cells_x=max(self.cams[lvl].width // 8, 4),
+                    cells_y=max(hl // 8, 4),
+                    cells_x=max(wl // 8, 4),
                     per_cell=4,
                 )
                 res = _match_level(
-                    (self.cams[lvl].focal, self.cams[lvl].pp[0],
-                     self.cams[lvl].pp[1], self.cams[lvl].baseline),
-                    self.cams[lvl].size,
-                    pyr[lvl],
-                    T_est.R, T_est.t,
+                    (fl, ppxl, ppyl, bl), (wl, hl),
+                    pyr[lvl], T_est.R, T_est.t,
                     xyz_w, R_aw, t_aw, patches,
-                    ok & lvl_masks[lvl],
+                    ok & (lvl_ids == lvl) & valid_ids,
                     buckets["uv"], buckets["valid"],
-                    disp,
-                    lvl,
-                    0.18,
-                    # wide search radius on the first pass, tight on refine
-                    15.0 if _pass == 0 else 6.0,
+                    disp, lvl, zmssd_thr, radius,
                 )
-                obs_dev = jnp.where(res.matched[:, None], res.obs_uvu, obs_dev)
+                obs_dev = jnp.where(res.matched[:, None], res.obs_uvu,
+                                    obs_dev)
                 matched_dev = matched_dev | res.matched
-            weights = (
-                jnp.asarray(0.25 ** levels_arr) * matched_dev
-            )
             ba = motion_only_ba_robust(
-                self.cam, T_est, xyz_w, obs_dev, weights,
-                matched_dev,
-                reject_thresh=float(self.cfg.ui.max_reproj_error) * 2.0,
+                cam0, T_est, xyz_w, obs_dev, lvl_w * matched_dev,
+                matched_dev, reject_thresh=reject_thresh,
             )
             T_est = ba.T
-            gate_dev = (
-                matched_dev & ba.inlier_mask
-                & (jnp.max(jnp.abs(ba.residuals), axis=-1)
-                   < float(self.cfg.ui.max_reproj_error) * 2.0)
-            )
-            packed = np.asarray(jnp.concatenate(
-                [gate_dev.astype(jnp.float32), obs_dev.reshape(-1),
-                 ba.T.R.reshape(-1), ba.T.t]
-            ))
-            matched_all = packed[:CAND_CAP] > 0.5
-            obs_all = packed[CAND_CAP:CAND_CAP * 4].reshape(CAND_CAP, 3)
-            if matched_all.sum() < 10:
-                return None, None, None, None
-        sel = np.flatnonzero(matched_all)
-        return ids[sel], obs_all[sel], levels_arr[sel], T_est
+            gate = (matched_dev & ba.inlier_mask
+                    & (jnp.max(jnp.abs(ba.residuals), axis=-1)
+                       < reject_thresh))
+            if p == 0:
+                g1_count = gate.sum().astype(jnp.float32)
+        return jnp.concatenate([
+            g1_count[None], gate.astype(jnp.float32), obs_dev.reshape(-1),
+            lvl_ids.astype(jnp.float32), T_est.R.reshape(-1), T_est.t,
+        ])
+
+    return jax.jit(fn)

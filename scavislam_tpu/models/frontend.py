@@ -1100,8 +1100,20 @@ class StereoFrontend:
         (~1/5-10 frames) that was the dominant per-keyframe frame-loop cost
         (measured: ~46 ms of extra wall per keyframe, most of it in this
         method)."""
-        if nb is None or self.actkey_id not in nb.get("kf_ids", []):
+        if nb is None:
             return False
+        kf_ids = nb.get("kf_ids", [])
+        if self.actkey_id not in kf_ids:
+            # accept a neighborhood rooted at the actkey's covis PARENT:
+            # under pipelined spawning the backend answers queries at the
+            # newest inserted keyframe (backend.step), which is the new
+            # actkey's direct ancestor — same map region, and the table
+            # writes are by absolute id. A neighborhood sharing no covis
+            # link with the actkey (a genuinely different region, e.g.
+            # after a switch) is still rejected, as the reference does
+            # (stereo_slam.cpp:694-703).
+            if not set(kf_ids) & set(self.covis.get(self.actkey_id, {})):
+                return False
         nb_poses = nb.get("poses", {})
         P, C = _POSE_SCATTER_CAP, _PSI_SCATTER_CAP
         # index padding 1<<30 (exactly representable in f32; the device

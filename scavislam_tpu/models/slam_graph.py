@@ -291,7 +291,10 @@ class SlamGraph:
         # floor the strength to oldkey (slam_graph.cpp:168-175)
         strengths[oldkey_id] = max(strengths.get(oldkey_id, 0), self.covis_thr)
 
-        # new points anchored here (addNewPointsToMap, 358-397)
+        # new points anchored here (addNewPointsToMap, 358-397).
+        # np.asarray on an already-f64 row view is a no-op reference — the
+        # backend bulk-converts (add_keyframe_packet), so this loop does no
+        # per-element array construction on the hot insert path.
         for pid, psi, level, uvu in new_points:
             self.points[pid] = GraphPoint(
                 pid, np.asarray(psi, np.float64), kf_id, int(level), {kf_id}

@@ -98,6 +98,10 @@ class BackendMonitor:
         self.neighborhood = LatestValueCell()  # pushNeighborhood / getNeighborhood
         self.closed_loops = StackChannel()  # pushClosedLoop / getClosedLoop
         self.draw_data = LatestValueCell()  # pushDrawData / getDrawData
+        # the backend builds its O(map) draw snapshot only when someone
+        # consumes it (self-arming: the first getDrawData call flips this;
+        # the reference's GUI always draws, headless runs never do)
+        self.want_draw_data = False
 
     # reference method names
     def pushKeyframe(self, pkt):
@@ -128,6 +132,7 @@ class BackendMonitor:
         self.draw_data.set(dd)
 
     def getDrawData(self):
+        self.want_draw_data = True
         return self.draw_data.take()
 
 

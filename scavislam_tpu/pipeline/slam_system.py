@@ -81,6 +81,12 @@ class SlamSystem:
         self.backend = Backend(cam, self.cfg, self.backend_monitor,
                                self.place_monitor)
         self.backend.per_mon = self.per_mon
+        if not threaded:
+            # unthreaded runs must be DETERMINISTIC (the TPU/CPU parity
+            # benchmark depends on identical event ordering): disable the
+            # wall-clock device-solve budget so every dirty query solves,
+            # like the reference's per-query optimize
+            self.backend.MIN_SOLVE_PERIOD_S = 0.0
         self.place_recognizer = (
             PlaceRecognizer(cam, vocabulary, self.place_monitor)
             if enable_loop_closure else None

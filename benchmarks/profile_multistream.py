@@ -112,7 +112,7 @@ def main():
 
         @jax.jit
         def p_stereo_map(st, acc):
-            # the production formulation: lax.map of the Pallas kernel
+            # the legacy formulation: lax.map of the Pallas kernel
             d = jax.lax.map(
                 lambda fr: block_matching_disparity_pallas(
                     fr[0], fr[1], num_disp=64, radius=5),
@@ -120,19 +120,38 @@ def main():
             return jnp.sum(d)
 
         @jax.jit
-        def p_dense(pyrs, clouds, intens, valids, Js, acc):
-            def one(pyr_c, cl, it, va, J):
-                R_d = jnp.eye(3, dtype=jnp.float32)
-                t_d = jnp.zeros(3, jnp.float32) + acc * 1e-12
-                for level in range(levels - 1, -1, -1):
-                    focal, ppx, ppy, baseline = cam_params[level]
-                    cam_l = StereoCamera(focal, jnp.stack([ppx, ppy]),
-                                         cam_statics[level], baseline)
-                    R_d, t_d, chi2, _ = _lm_level_ic(
-                        cam_l, pyr_c[level], cl[level], it[level],
-                        J[level], va[level], R_d, t_d)
-                return jnp.sum(R_d) + jnp.sum(t_d) + chi2
-            return jnp.sum(jax.vmap(one)(pyrs, clouds, intens, valids, Js))
+        def p_stereo_batched(st, acc):
+            # the production formulation: ONE (B, h//rows)-grid launch
+            from scavislam_tpu.ops.stereo_pallas import (
+                block_matching_disparity_pallas_batched,
+            )
+
+            s = st + acc * 1e-12
+            d = block_matching_disparity_pallas_batched(
+                s[:, 0], s[:, 1], num_disp=64, radius=5)
+            return jnp.sum(d)
+
+        def make_dense(mode):
+            @jax.jit
+            def p_dense(pyrs, clouds, intens, valids, Js, acc):
+                def one(pyr_c, cl, it, va, J):
+                    R_d = jnp.eye(3, dtype=jnp.float32)
+                    t_d = jnp.zeros(3, jnp.float32) + acc * 1e-12
+                    for level in range(levels - 1, -1, -1):
+                        focal, ppx, ppy, baseline = cam_params[level]
+                        cam_l = StereoCamera(focal, jnp.stack([ppx, ppy]),
+                                             cam_statics[level], baseline)
+                        R_d, t_d, chi2, _ = _lm_level_ic(
+                            cam_l, pyr_c[level], cl[level], it[level],
+                            J[level], va[level], R_d, t_d,
+                            sample_mode=mode)
+                    return jnp.sum(R_d) + jnp.sum(t_d) + chi2
+                return jnp.sum(jax.vmap(one)(pyrs, clouds, intens, valids,
+                                             Js))
+            return p_dense
+
+        p_dense = make_dense("qpack")
+        p_dense_mm = make_dense("matmul")
 
         @jax.jit
         def p_corners(pyrs, acc):
@@ -218,8 +237,12 @@ def main():
             ("FULL (pool density)", p_full_pool),
             ("preprocess", chained(p_preprocess, stacked_b)),
             ("stereo lax.map", chained(p_stereo_map, stacked_b)),
+            ("stereo batched-grid", chained(p_stereo_batched, stacked_b)),
             ("dense tracking", chained(
                 p_dense, cur_pyr_b, clouds_b, intens_b, valids_b,
+                cloud_J_b)),
+            ("dense (MXU sampler)", chained(
+                p_dense_mm, cur_pyr_b, clouds_b, intens_b, valids_b,
                 cloud_J_b)),
             ("corners+buckets", chained(p_corners, cur_pyr_b)),
             ("cloud state", chained(p_cloud, cur_pyr_b, disp_b)),

@@ -165,14 +165,63 @@ def _sample_qpack(Q, h, w, uv):
     return top * (1.0 - fv) + bot * fv, valid
 
 
-def _ic_pass(cam, Q, h, w, R, t, xyz_ref, i_ref, J_ref, valid):
+def _sample_matmul(img, h, w, uv):
+    """Bilinear sampling as an MXU row-interpolation contraction (the
+    BATCHED-mode sampler; returns the same (values, in_bounds) contract as
+    `_sample_qpack`).
+
+    TPU gathers are transaction-bound and their cost SERIALIZES across
+    vmapped streams: the batched step's dense-tracking stage measured
+    4.2 -> 31.9 ms from B=1 to B=8 (benchmarks/profile_multistream.py) —
+    a constant ~65 us per stream per LM segment, the scalar-core gather
+    floor. The identical sample expressed as a weighted two-hot matrix
+    (N, h) contracted with the image (h, w) — the y-lerp lives IN the
+    matrix — followed by an elementwise x-lerp reduction rides the MXU,
+    which batches across streams for free (~2-4 ns/point at realistic
+    utilization vs the ~29 ns/point gather floor).
+
+    Precision: bf16 operands with f32 accumulation, explicitly opting out
+    of the repo-global `jax_default_matmul_precision=highest` (this is a
+    hot kernel; scavislam_tpu/__init__.py documents the policy). Intensity
+    quantization is 2^-8 ~ 0.4% of full scale — under the +-0.1 residual
+    clamp and the 2-10% sensor-noise floor the robustness battery
+    tolerates (benchmarks/robustness.py)."""
+    u = uv[..., 0]
+    v = uv[..., 1]
+    valid = (u >= 0.0) & (v >= 0.0) & (u <= w - 1.0) & (v <= h - 1.0)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+    fu = u - u0.astype(u.dtype)
+    fv = v - v0.astype(v.dtype)
+    iy = jnp.arange(h, dtype=jnp.int32)
+    fv16 = fv.astype(jnp.bfloat16)[:, None]
+    Wy = ((iy == v0[:, None]).astype(jnp.bfloat16) * (1 - fv16)
+          + (iy == (v0[:, None] + 1)).astype(jnp.bfloat16) * fv16)
+    rows = jax.lax.dot_general(
+        Wy, img.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, w): y-interpolated image rows
+    ix = jnp.arange(w, dtype=jnp.int32)
+    fuc = fu[:, None]
+    Wx = ((ix == u0[:, None]) * (1.0 - fuc)
+          + (ix == (u0[:, None] + 1)) * fuc)
+    return jnp.sum(rows * Wx, axis=-1), valid
+
+
+def _ic_pass(cam, Q, h, w, R, t, xyz_ref, i_ref, J_ref, valid,
+             img=None, sample_mode="qpack"):
     """One inverse-compositional evaluation at pose (R, t):
     masked (H, b, chi2) with the FIXED template Jacobian. Only I_cur is
-    sampled (one Q-pack gather); H/b are MXU einsums."""
+    sampled (one Q-pack gather, or the MXU matmul sampler in batched
+    mode); H/b are MXU einsums."""
     xyz_cur = jnp.einsum("ij,nj->ni", R, xyz_ref) + t
     z = xyz_cur[..., 2]
     uv = (xyz_cur[..., :2] / z[..., None]) * cam.focal + cam.pp
-    i_cur, _ = _sample_qpack(Q, h, w, uv)
+    if sample_mode == "matmul":
+        i_cur, _ = _sample_matmul(img, h, w, uv)
+    else:
+        i_cur, _ = _sample_qpack(Q, h, w, uv)
     in_frame = (
         (uv[..., 0] >= BORDER)
         & (uv[..., 0] < w - BORDER)
@@ -191,7 +240,7 @@ def _ic_pass(cam, Q, h, w, R, t, xyz_ref, i_ref, J_ref, valid):
 
 
 def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0,
-                 max_iters=MAX_ITERS):
+                 max_iters=MAX_ITERS, sample_mode="qpack"):
     """Inverse-compositional LM for one pyramid level, all on device.
 
     Same deferred-acceptance control flow and LM schedule as `_lm_level`,
@@ -199,11 +248,17 @@ def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0,
     solving H d = -b warps the TEMPLATE by exp(d), so the current estimate
     absorbs exp(-d) on the template side: T <- T exp(-d)
     (Baker & Matthews inverse-compositional; equivalent to the reference's
-    forward GN near convergence, dense_tracking.cpp:62-193)."""
+    forward GN near convergence, dense_tracking.cpp:62-193).
+
+    sample_mode: "qpack" (scalar gathers, exact f32 — the single-stream
+    default) or "matmul" (MXU sampler, bf16 image — the batched-throughput
+    mode; see _sample_matmul)."""
     h, w = img.shape
-    Q = _qpack(img)  # loop-invariant: hoisted out of the while_loop by XLA
+    # loop-invariant; hoisted out of the while_loop by XLA. Unused (and
+    # dead-code-eliminated) in matmul mode.
+    Q = _qpack(img) if sample_mode == "qpack" else None
     H0, b0, chi2_0 = _ic_pass(cam, Q, h, w, R0, t0, xyz_ref, i_ref, J_ref,
-                              valid)
+                              valid, img=img, sample_mode=sample_mode)
 
     def cond(state):
         (R, t, H, b, chi2, mu, nu, trial, it, stop) = state
@@ -216,7 +271,8 @@ def _lm_level_ic(cam, img, xyz_ref, i_ref, J_ref, valid, R0, t0,
         d = jnp.where(jnp.isfinite(d), d, 0.0)
         T_new = SE3(R, t) @ SE3.exp(-d)
         H_new, b_new, new_chi2 = _ic_pass(
-            cam, Q, h, w, T_new.R, T_new.t, xyz_ref, i_ref, J_ref, valid
+            cam, Q, h, w, T_new.R, T_new.t, xyz_ref, i_ref, J_ref, valid,
+            img=img, sample_mode=sample_mode,
         )
         rho = chi2 - new_chi2
         accept = rho > 0

@@ -319,7 +319,7 @@ def _match_one_level(cam_l, img_level, R_cw, t_cw, xyz_w, R_aw, t_aw,
     static_argnames=(
         "cam_statics", "levels", "num_disp", "use_external_disp",
         "max_reproj_err", "zmssd_thr", "stereo_method", "stereo_opts",
-        "prefilter", "dense_subs",
+        "prefilter", "dense_subs", "dense_sample",
     ),
 )
 def frontend_step(
@@ -343,6 +343,10 @@ def frontend_step(
     stereo_opts: tuple = (4, 4, 4),  # (iters, levels, nr_plane) for BP/CSBP
     prefilter: bool = True,  # 3x3 binomial sensor-noise prefilter
     dense_subs: tuple = DENSE_SUBS,  # dense-cloud per-level subsampling
+    dense_sample: str = "qpack",  # dense-tracking sampler: "qpack" exact
+    # scalar gathers (single-stream default) | "matmul" MXU bilinear
+    # (batched mode: gathers serialize across vmapped streams —
+    # dense_tracker._sample_matmul)
 ) -> FrontendStepOut:
     # -- 1. unpack + preprocess (uint8 frames normalized on device)
     if frames_stacked.dtype == jnp.uint8:
@@ -432,6 +436,7 @@ def frontend_step(
             cam_l, pyr[level],
             prev_clouds[level], prev_intens[level], prev_J[level],
             prev_valids[level], R_d, t_d,
+            sample_mode=dense_sample,
         )
         dense_chi2 = chi2_l
 

@@ -71,16 +71,31 @@ def _bm_kernel(
     lf_hbm, rf_hbm, disp_ref, best_ref, bestr_ref,
     lf_s, rf_s, vol, sem,
     *, num_disp, radius, rows, width, height, uniq, tex_thr,
+    batched=False,
 ):
-    i = pl.program_id(0)
+    # batched mode: grid (B, h//rows) — one extra leading grid dimension
+    # selects the stream; everything else is identical per slab. This is
+    # how N streams' disparity runs as ONE parallel kernel launch instead
+    # of a lax.map of sequential launches (the sequential form was B-linear
+    # by construction: 0.6 -> 5.0 ms from B=1 to B=8, the 2nd-largest
+    # stage of the batched frontend step — profile_multistream.py).
+    if batched:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        lf_src = lf_hbm.at[b]
+        rf_src = rf_hbm.at[b]
+    else:
+        i = pl.program_id(0)
+        lf_src = lf_hbm
+        rf_src = rf_hbm
     slab = rows + 2 * HALO
 
     # DMA the two image slabs (halo included; inputs pre-padded by HALO rows)
     cp1 = pltpu.make_async_copy(
-        lf_hbm.at[pl.ds(i * rows, slab)], lf_s, sem.at[0]
+        lf_src.at[pl.ds(i * rows, slab)], lf_s, sem.at[0]
     )
     cp2 = pltpu.make_async_copy(
-        rf_hbm.at[pl.ds(i * rows, slab)], rf_s, sem.at[1]
+        rf_src.at[pl.ds(i * rows, slab)], rf_s, sem.at[1]
     )
     cp1.start()
     cp2.start()
@@ -221,9 +236,14 @@ def _bm_kernel(
         & in_img
         & lr_ok
     )
-    disp_ref[:, :] = jnp.where(valid, disp, -1.0)
-    best_ref[:, :] = best
-    bestr_ref[:, :] = bestr
+    if batched:
+        disp_ref[0, :, :] = jnp.where(valid, disp, -1.0)
+        best_ref[0, :, :] = best
+        bestr_ref[0, :, :] = bestr
+    else:
+        disp_ref[:, :] = jnp.where(valid, disp, -1.0)
+        best_ref[:, :] = best
+        bestr_ref[:, :] = bestr
 
 
 @partial(
@@ -290,5 +310,73 @@ def block_matching_disparity_pallas(
     )(lf_p, rf_p)
 
     # left-right consistency is applied inside the kernel (no XLA gather)
+    del best, bestr
+    return disp
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_disp", "radius", "rows", "uniqueness_ratio",
+                     "texture_threshold", "interpret"),
+)
+def block_matching_disparity_pallas_batched(
+    left: jnp.ndarray,  # (B, h, w)
+    right: jnp.ndarray,
+    num_disp: int = 64,
+    radius: int = 5,
+    rows: int = 32,
+    uniqueness_ratio: float = 1.10,
+    texture_threshold: float = 0.01,
+    interpret: bool = False,
+):
+    """Batched twin of :func:`block_matching_disparity_pallas`: N streams'
+    disparity as ONE kernel launch over a (B, h//rows) grid. A Pallas
+    kernel cannot be vmapped and a `lax.map` of launches is sequential
+    (B-linear); the extra grid dimension lets the TPU schedule all B x
+    slabs as one parallel program. Bit-identical per stream to the
+    single-image kernel (same body; the batch index only selects the DMA
+    source and output block)."""
+    from scavislam_tpu.ops.stereo import _sobel_x_prefilter
+
+    B, h, w = left.shape
+    assert h % rows == 0, "image height must be a multiple of the slab size"
+    lf = jax.vmap(_sobel_x_prefilter)(left)
+    rf = jax.vmap(_sobel_x_prefilter)(right)
+    lf_p = jnp.pad(lf, ((0, 0), (HALO, HALO), (0, 0)))
+    rf_p = jnp.pad(rf, ((0, 0), (HALO, HALO), (0, 0)))
+
+    kernel = partial(
+        _bm_kernel,
+        num_disp=num_disp, radius=radius, rows=rows, width=w, height=h,
+        uniq=uniqueness_ratio, tex_thr=texture_threshold, batched=True,
+    )
+    disp, best, bestr = pl.pallas_call(
+        kernel,
+        grid=(B, h // rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows, w), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, w), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, w), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((B, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((B, h, w), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * HALO, w), jnp.float32),
+            pltpu.VMEM((rows + 2 * HALO, w), jnp.float32),
+            pltpu.VMEM((num_disp, rows, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(lf_p, rf_p)
     del best, bestr
     return disp

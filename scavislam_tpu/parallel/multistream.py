@@ -194,7 +194,8 @@ def build_sharded_ba(mesh: Mesh, cam_params, iters: int = 2,
 
 def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
                                num_disp=64, zmssd_thr=0.18,
-                               max_reproj=2.0, dense_subs=None):
+                               max_reproj=2.0, dense_subs=None,
+                               dense_sample="matmul"):
     """The FULL fused per-frame frontend step (preprocess -> stereo ->
     dense tracking -> corners -> guided matching -> motion BA -> policy
     stats -> next cloud state) vmapped over a stream batch, optionally
@@ -234,22 +235,26 @@ def build_multistream_frontend(mesh, cam_params, cam_statics, levels=3,
             frames, clouds, intens, valids, Js, R, t, ak, poses, points,
             cand, cam_params, cam_statics, levels, num_disp, use_pallas,
             max_reproj, zmssd_thr, 1, dense_subs=subs,
+            # batched streams default to the MXU bilinear sampler: scalar
+            # gathers serialize across vmapped streams (B-linear dense
+            # stage, profile_multistream.py), matmuls batch for free
+            dense_sample=dense_sample,
         )
 
     def vstep(frames, clouds, intens, valids, Js, R, t, ak, poses, points,
               cand):
         if use_pallas:
             from scavislam_tpu.ops.stereo_pallas import (
-                block_matching_disparity_pallas,
+                block_matching_disparity_pallas_batched,
             )
 
             frames_f = (frames.astype(jnp.float32) / 255.0
                         if frames.dtype == jnp.uint8 else frames)
-            disp = jax.lax.map(
-                lambda fr: block_matching_disparity_pallas(
-                    fr[0], fr[1], num_disp=num_disp, radius=5),
-                frames_f,
-            )
+            # one (B, h//rows)-grid kernel launch — the previous lax.map of
+            # per-stream launches was sequential, i.e. B-linear (0.6 -> 5.0
+            # ms at B=8, profile_multistream.py)
+            disp = block_matching_disparity_pallas_batched(
+                frames_f[:, 0], frames_f[:, 1], num_disp=num_disp, radius=5)
             frames_f = jnp.concatenate([frames_f, disp[:, None]], axis=1)
             return jax.vmap(one)(frames_f, clouds, intens, valids, Js, R,
                                  t, ak, poses, points, cand)

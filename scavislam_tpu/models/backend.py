@@ -135,6 +135,11 @@ class Backend:
         self.SNAPSHOT_KEEP = 48
         self._last_tables = None  # (points_snapshot, poses_snapshot)
         self.prev_kf_id = None
+        # one in-flight async registration: (root_id, padded ids, Future)
+        # dispatched by local_register_frame, applied by
+        # _finish_registration at a later poll
+        self._pending_reg = None
+        self._reg_pool = None
         # observability: why loop-closure/registration attempts succeeded or
         # died (benchmarks print this — a 0-edge run is not diagnosable from
         # the edge count alone)
@@ -233,9 +238,18 @@ class Backend:
                     pm.stop("back end")
             did = True
 
+        # apply a LANDED async registration (graph mutation deferred from
+        # dispatch — see local_register_frame)
+        if self._pending_reg is not None and self._pending_reg[2].done():
+            self._finish_registration()
+            did = True
+
         # registration would force-adopt the in-flight solve (it mutates the
-        # graph), destroying the overlap — defer it until the fetch lands
-        if self.local_registration_stack and not self.graph.solve_pending():
+        # graph), destroying the overlap — defer it until the fetch lands;
+        # at most one registration in flight
+        if (self.local_registration_stack
+                and not self.graph.solve_pending()
+                and self._pending_reg is None):
             fid = self.local_registration_stack.pop()
             self.local_register_frame(fid)
             did = True
@@ -437,18 +451,54 @@ class Backend:
         cand_ids = np.asarray(sorted(set(cand_ids))[:CAND_CAP], np.int64)
 
         snap = self.keyframe_snapshots[root_id]
-        matched_ids, matched_obs, matched_levels, T_new = self._match_and_align(
+        # ASYNC: dispatch the fused registration program and hand the packed
+        # fetch to a worker; the graph mutation happens at a later poll
+        # (_finish_registration). The synchronous form blocked the backend
+        # thread ~60 ms per registration on the fetch round-trip — at
+        # benchmark streaming rates that pushed per-keyframe service time
+        # past the inter-keyframe period and the backend fell behind the
+        # frame loop (measured: the last half of a 1000-frame run's
+        # keyframes only inserted during the end-of-run drain). Matched
+        # data comes from immutable table snapshots, so later inserts
+        # cannot invalidate the result.
+        ids, fut = self._match_and_align_dispatch(
             snap, v_root.T, cand_ids, points_tab, poses_tab
         )
+        self._pending_reg = (root_id, ids, fut)
+        return True
+
+    def _finish_registration(self) -> bool:
+        """Consume a landed async registration fetch: unpack, gate, and
+        apply the graph mutation (the tail of Backend::localRegisterFrame,
+        backend.cpp:614-722)."""
+        root_id, ids, fut = self._pending_reg
+        self._pending_reg = None
+        g = self.graph
+        if root_id not in g.vertices:
+            return False
+        matched_ids, matched_obs, matched_levels, T_new = \
+            self._match_and_align_finish(ids, fut.result())
         if matched_ids is None or len(matched_ids) < g.covis_thr:
             self.counters["reg_match_failed"] += 1
             return False
 
         # per-anchor strength + quadrant coverage filter (backend.cpp:614-722)
-        anchors = np.asarray([g.points[int(p)].anchor_id for p in matched_ids])
+        anchors_l = []
+        keep = np.zeros(len(matched_ids), bool)
+        for i, p in enumerate(matched_ids):
+            pt = g.points.get(int(p))
+            anchors_l.append(pt.anchor_id if pt is not None else -1)
+            keep[i] = pt is not None
+        anchors = np.asarray(anchors_l)
+        matched_ids = matched_ids[keep]
+        matched_obs = matched_obs[keep]
+        matched_levels = matched_levels[keep]
+        anchors = anchors[keep]
         strengths = {}
         w, h = self.cam.size
         for f in set(anchors.tolist()):
+            if f < 0:
+                continue
             sel = anchors == f
             uv = matched_obs[sel][:, :2]
             qx = (uv[:, 0] > w / 2).astype(int)
@@ -551,10 +601,11 @@ class Backend:
     # (builder defined at module level below: _build_register_packed)
 
     # -- shared match+align ------------------------------------------------ #
-    def _match_and_align(self, snap, T_init: SE3, cand_ids, points_tab,
-                         poses_tab):
-        """2-pass guided match + motion-only BA against a stored keyframe
-        snapshot (parity: Backend::matchAndAlign, backend.cpp:725-784).
+    def _match_and_align_dispatch(self, snap, T_init: SE3, cand_ids,
+                                  points_tab, poses_tab):
+        """Dispatch the fused 2-pass match+align program (parity:
+        Backend::matchAndAlign, backend.cpp:725-784) and hand the packed
+        fetch to a worker thread. Returns (padded ids, Future -> packed).
 
         The whole 2-pass refine (corner re-detection on every level + guided
         match + robust BA, twice) is ONE jitted program with ONE packed
@@ -582,13 +633,24 @@ class Backend:
         )
         fn = _build_register_packed(
             cam_key, 0.18, float(self.cfg.ui.max_reproj_error) * 2.0)
-        C = CAND_CAP
-        packed = np.asarray(fn(
+        packed_dev = fn(
             pyr, disp,
             jnp.asarray(np.asarray(T_init.R), jnp.float32),
             jnp.asarray(np.asarray(T_init.t), jnp.float32),
             xyz_w, R_aw, t_aw, patches, ok, lvl_ids, ids_j >= 0,
-        ))
+        )
+        if self._reg_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._reg_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="reg-fetch")
+        return ids, self._reg_pool.submit(np.asarray, packed_dev)
+
+    @staticmethod
+    def _match_and_align_finish(ids, packed):
+        """Unpack a landed match+align fetch -> (ids, obs, levels, T) or
+        Nones on a failed pass (either pass gating < 10 matches)."""
+        C = CAND_CAP
         g1 = packed[0]
         gate = packed[1:1 + C] > 0.5
         obs_all = packed[1 + C:1 + 4 * C].reshape(C, 3)
@@ -600,6 +662,14 @@ class Backend:
         T_est = SE3(jnp.asarray(R_new), jnp.asarray(t_new))
         sel = np.flatnonzero(gate)
         return ids[sel], obs_all[sel], levels_arr[sel], T_est
+
+    def _match_and_align(self, snap, T_init: SE3, cand_ids, points_tab,
+                         poses_tab):
+        """Synchronous dispatch+finish (loop-closure verification and
+        warmup; registrations use the async pair)."""
+        ids, fut = self._match_and_align_dispatch(
+            snap, T_init, cand_ids, points_tab, poses_tab)
+        return self._match_and_align_finish(ids, fut.result())
 
 
 from functools import lru_cache as _lru_cache

@@ -237,14 +237,29 @@ class SlamSystem:
         return True
 
     def _drain_workers(self):
-        while self.backend.step():
-            pass
+        def drain_backend():
+            while True:
+                if self.backend.step():
+                    continue
+                # deterministic unthreaded semantics: BLOCK on in-flight
+                # async work (registration fetch, solve fetch) instead of
+                # letting it land on a later frame — threaded runs overlap
+                # these, unthreaded runs (tests, the TPU/CPU parity
+                # benchmark) need identical event ordering on every backend
+                if self.backend._pending_reg is not None:
+                    self.backend._pending_reg[2].result()
+                    continue
+                if self.backend.graph.solve_pending():
+                    self.backend.graph.finish_pending()
+                    continue
+                break
+
+        drain_backend()
         if self.place_recognizer is not None:
             while self.place_recognizer.step():
                 pass
             # loops found by PR need one more backend pass
-            while self.backend.step():
-                pass
+            drain_backend()
 
     # ------------------------------------------------------------------ #
     def finish(self, timeout: float = 60.0):
@@ -267,6 +282,7 @@ class SlamSystem:
                     len(self.backend_monitor.keyframes) > 0
                     or getattr(self.backend, "working", False)
                     or bool(self.backend.local_registration_stack)
+                    or self.backend._pending_reg is not None
                     or self.backend.graph.solve_pending()
                     or (self.place_monitor is not None
                         and (self.place_monitor.pending()

@@ -569,6 +569,11 @@ def config7(n=1000):
     _warm(cam, cfg, frames)
     system = _system(cam, cfg, threaded=True, enable_loop_closure=False,
                      pipelined=True, pipeline_depth=3)
+    # the constant-time INSTRUMENT runs at maximal mapping cadence (the
+    # production default 0.25 trades solves for fps at benchmark streaming
+    # rates; this config measures backend-cost flatness, so more solves =
+    # more evidence — the fps it reports alongside is the cost of that)
+    system.backend.MIN_SOLVE_PERIOD_S = 0.15
 
     # per-keyframe backend instrumentation (wrappers, not library changes;
     # lists appended under the GIL from the backend thread). The SOLVE
@@ -586,14 +591,18 @@ def config7(n=1000):
     def add_timed(pkt):
         t0 = time.perf_counter()
         orig_add(pkt)
-        insert_log.append((len(g.vertices),
-                           (time.perf_counter() - t0) * 1e3))
+        # prefer the graph's own insert measurement (excludes the
+        # finish_pending wait on an in-flight solve — overlap accounting);
+        # the wrapper wall is the fallback for the first keyframe
+        ms = getattr(g, "last_insert_ms",
+                     (time.perf_counter() - t0) * 1e3)
+        insert_log.append((len(g.vertices), ms))
 
     def prep_timed(root_id, loop_id=-1):
-        t0 = time.perf_counter()
         r = orig_prep(root_id, loop_id)
-        prep_log.append((len(g.vertices),
-                         (time.perf_counter() - t0) * 1e3))
+        # the graph's own measurement EXCLUDES the finish_pending wait on
+        # an in-flight solve (overlap accounting, not per-keyframe cost)
+        prep_log.append((len(g.vertices), g.last_prepare_ms))
         return r
 
     be.add_keyframe_packet = add_timed

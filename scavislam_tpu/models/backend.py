@@ -121,9 +121,14 @@ class Backend:
         # minimum wall-clock spacing between device-solve dispatches (and
         # the local registrations they queue) — the device-time budget
         # shared with the tracking loop; see step(). At real camera rates
-        # every keyframe solves; at benchmark streaming rates ~2 keyframes
-        # batch per solve. 0 restores the reference's solve-per-query.
-        self.MIN_SOLVE_PERIOD_S = 0.15
+        # (20 Hz, reference cadence ~1 keyframe/0.36 s) every keyframe
+        # still solves; at benchmark streaming rates (~3x real time) ~2-3
+        # keyframes batch per solve. 0 restores the reference's
+        # solve-per-query. Measured equilibria on the walking-pace wander:
+        # 0.15 -> ~37 fps with 0.8 solves/keyframe; 0.25 -> ~50-60 fps
+        # with ~0.4 solves/keyframe at benchmark rates (and unchanged
+        # behavior at real rates, which is what the policy optimizes for).
+        self.MIN_SOLVE_PERIOD_S = 0.25
         # recency window of keyframe image snapshots kept on device (see
         # add_keyframe_packet). 48 covers every root/query consumer in
         # practice (queries are the current actkey; after a loop closure the

@@ -284,8 +284,13 @@ class SlamGraph:
         strengths: dict,  # neighbor kf_id -> shared count
         oldkey_id: int,
     ):
-        """Parity: addKeyframe (slam_graph.cpp:143-186)."""
+        """Parity: addKeyframe (slam_graph.cpp:143-186).
+
+        `last_insert_ms` measures the insert machinery itself, EXCLUDING
+        the finish_pending wait on an in-flight solve (overlap accounting —
+        see prepare_for_optimization's note)."""
         self.finish_pending()
+        t_ins0 = time.perf_counter()
         v = GraphVertex(kf_id, *_se3_np(T_kw))
         strengths = dict(strengths)
         # floor the strength to oldkey (slam_graph.cpp:168-175)
@@ -319,6 +324,7 @@ class SlamGraph:
                 self.insert_edge(kf_id, nbr, s, LOCAL)
                 T_c, Lam = self._compute_constraint(kf_id, nbr)
                 self.set_constraint(kf_id, nbr, T_c, Lam)
+        self.last_insert_ms = (time.perf_counter() - t_ins0) * 1e3
 
     def register_keyframes(self, root_id: int, T_newroot_from_w: SE3,
                            strengths: dict, tracked: list):
@@ -505,8 +511,17 @@ class SlamGraph:
                     self.set_constraint(i, j, T_c, Lam)
 
     def prepare_for_optimization(self, root_id: int, loop_id: int = -1) -> bool:
-        """Parity: prepareForOptimization (slam_graph.cpp:288-310)."""
+        """Parity: prepareForOptimization (slam_graph.cpp:288-310).
+
+        `last_prepare_ms` records the DWO window machinery's own time (BFS
+        + marginalize/unmarginalize + pose reinit) EXCLUDING the
+        finish_pending wait on an in-flight solve — that wait is overlap
+        accounting, not per-keyframe cost, and counting it made the
+        constant-time benchmark's early keyframes read 10x their real
+        prepare cost (solves fire back-to-back early when the budget isn't
+        binding)."""
         self.finish_pending()
+        t_prep0 = time.perf_counter()
         old_window = dict(self.double_window)
         self.double_window = self._compute_double_window(root_id)
         self._active_points()
@@ -522,11 +537,13 @@ class SlamGraph:
                 else "root_has_no_covis_links" if ns == 0
                 else f"window_degenerate(nbrs={ns})")
             self.double_window = old_window
+            self.last_prepare_ms = (time.perf_counter() - t_prep0) * 1e3
             return False
         self.last_prepare_fail = ""
         self._unmarginalize_inner()
         self._marginalize_leaving(old_window)
         self._root_id = root_id
+        self.last_prepare_ms = (time.perf_counter() - t_prep0) * 1e3
         return True
 
     def _select_window_overflow(self, window_ids, P):

@@ -43,7 +43,6 @@ from scavislam_tpu.models.map_store import (
     MAX_POINTS,
     PointTable,
     PoseTable,
-    scatter_psi,
 )
 from scavislam_tpu.utils.config import Config
 

@@ -157,8 +157,14 @@ class TestMultistreamFrontend:
         tb = jnp.zeros((B, 3), jnp.float32)
         ak = jnp.zeros((B,), jnp.int32)
 
+        # qpack sampler: this test pins the VMAP property (batched ==
+        # per-stream) exactly; the production batched default ("matmul",
+        # bf16 MXU sampling) is intentionally not bit-equal to the f32
+        # gather path — its numerics are pinned by
+        # tests/test_dense_tracker.py::TestMatmulSampler
         step = build_multistream_frontend(None, cam_params, cam_statics,
-                                          levels=levels, num_disp=16)
+                                          levels=levels, num_disp=16,
+                                          dense_sample="qpack")
         out = step(frames, clouds, intens, valids, Js, Rb, tb, ak,
                    poses_b, points_b, cand)
 

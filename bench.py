@@ -117,12 +117,6 @@ def main():
             "stacked_dev": jnp.asarray(np.stack([l8, r8])),
         })
 
-    # threaded: the backend runs in its own thread like the reference
-    # (stereo_slam.cpp:195-196); the measured rate is the main tracking
-    # loop's, exactly what the reference's on-screen FPS reports.
-    system = SlamSystem(cam, cfg, threaded=True, enable_loop_closure=False,
-                        pipelined=True, pipeline_depth=3)
-
     # ---- warmup: compile EVERY jit path before timing. A separate throwaway
     # system with a tiny parallax threshold forces keyframe drops (spawn +
     # backend prepare/optimize paths compile here; jit caches are shared).
@@ -148,28 +142,41 @@ def main():
                             np.arange(64, dtype=np.int64),
                             *be._last_tables)
 
-    system.process_first_frame(frames[0])
-    system.process_frame(frames[1])
-
-    t0 = time.perf_counter()
-    n_timed = 0
-    for i in range(2, n_total):
-        ok = system.process_frame(frames[i])
-        if not ok:
-            break
-        n_timed += 1
-    jax.effects_barrier()
-    dt = time.perf_counter() - t0
-
-    system.finish()
-    system.shutdown()
-    fps = n_timed / dt if dt > 0 else 0.0
-    n_kf = len(system.frontend.keyframe_map)
+    # median of 3 independent timed runs: the tunnel's fps jitter is ±15%
+    # with occasional 2x degradation spikes (same variance armor as config
+    # 4's median-of-reps; jit caches are process-wide so repeat systems
+    # re-use every compiled program). ATE is deterministic either way.
+    # threaded: the backend runs in its own thread like the reference
+    # (stereo_slam.cpp:195-196); the measured rate is the main tracking
+    # loop's, exactly what the reference's on-screen FPS reports.
+    reps = []
+    n_kf = 0
+    for _ in range(3):
+        system = SlamSystem(cam, cfg, threaded=True,
+                            enable_loop_closure=False,
+                            pipelined=True, pipeline_depth=3)
+        system.process_first_frame(frames[0])
+        system.process_frame(frames[1])
+        t0 = time.perf_counter()
+        n_timed = 0
+        for i in range(2, n_total):
+            ok = system.process_frame(frames[i])
+            if not ok:
+                break
+            n_timed += 1
+        jax.effects_barrier()
+        dt = time.perf_counter() - t0
+        system.finish()
+        system.shutdown()
+        reps.append(n_timed / dt if dt > 0 else 0.0)
+        n_kf = len(system.frontend.keyframe_map)
+    fps = float(np.median(reps))
     print(json.dumps({
         "metric": "stereo_slam_fps_512x384",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
+        "reps_fps": [round(r, 1) for r in reps],
         "keyframes": n_kf,
         "frames_per_keyframe": round(n_total / max(n_kf, 1), 1),
     }))

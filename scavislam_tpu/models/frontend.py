@@ -189,6 +189,12 @@ class StereoFrontend:
         from scavislam_tpu.models.frontend_step import DENSE_SUBS
 
         self.dense_subs = DENSE_SUBS
+        # dense-tracking sampler: "qpack" (exact f32 scalar gathers, the
+        # default) or "matmul" (MXU bilinear, bf16 — the batched-mode
+        # sampler; measured ~2x faster per stream on TPU, see
+        # dense_tracker._sample_matmul). Single-stream keeps qpack unless
+        # a run opts in.
+        self.dense_sample = "qpack"
 
         # rolling per-frame state (device + small host scalars)
         self._prev_clouds = None
@@ -382,6 +388,7 @@ class StereoFrontend:
             (int(self.cfg.ui.stereo_iters), int(self.cfg.ui.stereo_levels),
              int(self.cfg.ui.stereo_nr_plane)),
             dense_subs=self.dense_subs,
+            dense_sample=self.dense_sample,
         )
         self._dev_R_cw = out.R_cw
         self._dev_t_cw = out.t_cw

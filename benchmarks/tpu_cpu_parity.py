@@ -102,7 +102,8 @@ def do_render(out_path: str, n: int, scene: str) -> None:
                         right=np.stack(rights), T_cw_gt=np.stack(gts))
 
 
-def do_run(frames_path: str, out_path: str, scene: str) -> None:
+def do_run(frames_path: str, out_path: str, scene: str,
+           dense_sample: str = "qpack") -> None:
     import jax
 
     from scavislam_tpu.pipeline.slam_system import SlamSystem
@@ -116,6 +117,10 @@ def do_run(frames_path: str, out_path: str, scene: str) -> None:
     system = SlamSystem(cam, cfg, threaded=False,
                         enable_loop_closure=loop_closure,
                         pipelined=False, pr_lossless=loop_closure)
+    # optional: run the dense tracker's MXU (bf16) sampler on both backends
+    # — validates that its CPU emulation and TPU hardware agree within the
+    # criterion before it can become a single-stream default
+    system.frontend.dense_sample = dense_sample
     system.process_first_frame(
         {"frame_id": 0, "left": left[0], "right": right[0]})
     for i in range(1, n):
@@ -158,7 +163,7 @@ def _ate(traj: dict, gt: np.ndarray) -> float:
     return float(np.sqrt((errs ** 2).sum(axis=1).mean()))
 
 
-def driver(n: int, scene: str) -> int:
+def driver(n: int, scene: str, dense_sample: str = "qpack") -> int:
     me = os.path.abspath(__file__)
     with tempfile.TemporaryDirectory() as td:
         fr = os.path.join(td, "frames.npz")
@@ -172,7 +177,8 @@ def driver(n: int, scene: str) -> int:
         for name, env in (("cpu", cpu_env), ("tpu", None)):
             rp = os.path.join(td, f"traj_{name}.json")
             subprocess.run([sys.executable, me, "--run", fr, rp,
-                            "--scene", scene],
+                            "--scene", scene,
+                            "--dense-sample", dense_sample],
                            env=env, check=True, timeout=1800)
             out[name] = _load_traj(rp)
         gt = np.load(fr)["T_cw_gt"]
@@ -186,6 +192,7 @@ def driver(n: int, scene: str) -> int:
     print(json.dumps({
         "metric": "tpu_vs_cpu_trajectory_parity",
         "scene": scene,
+        "dense_sample": dense_sample,
         "backends": [be_c, be_t],
         "frames": n,
         "keyframes": [d_c["keyframes"], d_t["keyframes"]],
@@ -209,6 +216,10 @@ def main(argv=None):
                     help="dolly: config-1 shape (1-2 keyframes); spin: "
                          "config-2 shape (10+ keyframes, DWO solves, loop "
                          "closure on both backends)")
+    ap.add_argument("--dense-sample", default="qpack",
+                    choices=("qpack", "matmul"),
+                    help="dense-tracking sampler on BOTH backends (matmul "
+                         "= the MXU bf16 sampler)")
     ap.add_argument("--render", metavar="OUT_NPZ")
     ap.add_argument("--run", nargs=2, metavar=("FRAMES_NPZ", "OUT_JSON"))
     args = ap.parse_args(argv)
@@ -216,9 +227,9 @@ def main(argv=None):
         do_render(args.render, args.frames, args.scene)
         return 0
     if args.run:
-        do_run(*args.run, scene=args.scene)
+        do_run(*args.run, scene=args.scene, dense_sample=args.dense_sample)
         return 0
-    return driver(args.frames, args.scene)
+    return driver(args.frames, args.scene, args.dense_sample)
 
 
 if __name__ == "__main__":

@@ -130,14 +130,16 @@ class Backend:
         # behavior at real rates, which is what the policy optimizes for).
         self.MIN_SOLVE_PERIOD_S = 0.25
         # recency window of keyframe image snapshots kept on device (see
-        # add_keyframe_packet). 48 covers every root/query consumer in
-        # practice (queries are the current actkey; after a loop closure the
-        # actkey can switch to an older keyframe — 48 spans the loop scales
-        # of the benchmark suite). A root older than the window skips local
-        # registration with a counter instead of failing silently — a
-        # documented bounded-memory deviation from the reference, which
-        # keeps every keyframe image in RAM forever (backend.cpp:549-611).
-        self.SNAPSHOT_KEEP = 48
+        # add_keyframe_packet). Queries are the current actkey, but keyframe
+        # SWITCHES can retarget roots well back down the covis graph
+        # (measured: 35-84 registration skips per 1000-frame wander at
+        # KEEP=48); 128 covers the switch depth of every benchmark workload
+        # at a bounded ~60-230 MB of device buffers. A root older than the
+        # window still skips local registration with a counter instead of
+        # failing silently — a documented bounded-memory deviation from the
+        # reference, which keeps every keyframe image in RAM forever
+        # (backend.cpp:549-611).
+        self.SNAPSHOT_KEEP = 128
         self._last_tables = None  # (points_snapshot, poses_snapshot)
         self.prev_kf_id = None
         # one in-flight async registration: (root_id, padded ids, Future)
